@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh (no TPU pod in
+CI); the driver separately dry-run-compiles the multichip path via
+__graft_entry__.dryrun_multichip. Must run before jax initializes.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def testing_files() -> pathlib.Path:
+    return pathlib.Path(__file__).parent / "testing_files"
+
+
+@pytest.fixture(scope="session")
+def ubq_pdb_gz(testing_files) -> pathlib.Path:
+    p = testing_files / "1ubq.pdb1.gz"
+    assert p.exists(), "1ubq fixture missing"
+    return p
