@@ -1,0 +1,161 @@
+"""Structure layer tests on the real 1ubq biounit fixture."""
+import numpy as np
+import pytest
+
+from timed_design_tpu.structure import (
+    ca_rmsd,
+    chi_bin,
+    create_map_alphanumeric_code,
+    convert_seq_to_property,
+    create_residue_map,
+    dihedral,
+    encode_structure_rotamers,
+    gdt,
+    load_pdb,
+    modify_structure_with_property,
+    parse_pdb_string,
+    residue_labels,
+    superpose,
+    tag_chi_angles,
+)
+
+UBQ_SEQ = (
+    "MQIFVKTLTGKTITLEVEPSDTIENVKAKIQDKEGIPPDQQRLIFAGKQLEDGRTLSDYNIQKESTLHLVLRLRGG"
+)
+
+
+def test_load_1ubq(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    assert s.n_residues == 76
+    assert s.sequence1() == UBQ_SEQ
+    assert len(s.chains) == 1 and s.chains[0].chain_id == "A"
+    # Flat arrays cover all standard-residue atoms (602 protein atoms in 1UBQ)
+    assert s.coords.shape[0] == s.res_index.shape[0] == s.elements.shape[0]
+    assert s.coords.shape[0] > 70 * 4
+    assert set(np.unique(s.elements)) <= {"C", "N", "O", "S"}
+    # residue_labels stream is ordered and 76 long
+    labels = residue_labels(s)
+    assert len(labels) == 76
+    assert labels[0] == ("A", "1", "MET")
+    assert labels[-1] == ("A", "76", "GLY")
+
+
+def test_backbone_arrays(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    bb = s.backbone_arrays()
+    for name in ("N", "CA", "C", "O"):
+        assert bb[name].shape == (76, 3)
+        assert not np.isnan(bb[name]).any(), f"missing {name}"
+    # GLY has no CB: positions 9, 34, 46, 74, 74... check G at index 9 (G10)
+    gly_positions = [i for i, r in enumerate(UBQ_SEQ) if r == "G"]
+    for i in gly_positions:
+        assert np.isnan(bb["CB"][i]).all()
+
+
+def test_dihedral_known_values():
+    # Perfect cis (0 deg) and trans (180 deg) configurations
+    p0, p1, p2 = [0.0, 1, 0], [0, 0, 0], [1, 0, 0]
+    assert dihedral(p0, p1, p2, [1.0, 1, 0]) == pytest.approx(0.0, abs=1e-9)
+    assert dihedral(p0, p1, p2, [1.0, -1, 0]) == pytest.approx(180.0, abs=1e-9)
+    # +90 degrees
+    assert dihedral(p0, p1, p2, [1.0, 0, -1]) == pytest.approx(90.0, abs=1e-6) or \
+        dihedral(p0, p1, p2, [1.0, 0, 1]) == pytest.approx(90.0, abs=1e-6)
+
+
+def test_chi_bins():
+    np.testing.assert_array_equal(chi_bin(np.array([60.0, 180.0, 300.0])), [1, 2, 3])
+    np.testing.assert_array_equal(chi_bin(np.array([-60.0, 119.9, 240.0])), [3, 1, 3])
+
+
+def test_tag_chi_angles_1ubq(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    tags = tag_chi_angles(s)
+    assert len(tags) == 76
+    # MET1 has 3 chis, all taggable in the crystal structure
+    angles, bins = tags[0]
+    assert len(angles) == 3 and len(bins) == 3
+    assert all(1 <= b <= 3 for b in bins)
+    # GLY has none
+    angles_g, bins_g = tags[9]
+    assert angles_g == [] and bins_g == []
+
+
+def test_encode_structure_rotamers_1ubq(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    codes = encode_structure_rotamers(s)
+    assert len(codes) == 76
+    arr = np.array(codes)
+    # crystal structure with full side chains: everything taggable
+    assert np.isfinite(arr).all()
+    assert ((arr >= 0) & (arr <= 337)).all()
+    # GLY residues map to the GLY_0 class (49)
+    for i, r in enumerate(UBQ_SEQ):
+        if r == "G":
+            assert arr[i] == 49.0
+
+
+def test_kabsch_recovers_rotation():
+    rng = np.random.default_rng(0)
+    P = rng.normal(size=(50, 3))
+    # random rotation via QR
+    Q_rot, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(Q_rot) < 0:
+        Q_rot[:, 0] *= -1
+    target = P @ Q_rot.T + np.array([1.0, -2.0, 3.0])
+    aligned, rmsd = superpose(P, target)
+    assert rmsd == pytest.approx(0.0, abs=1e-8)
+    np.testing.assert_allclose(aligned, target, atol=1e-8)
+    assert ca_rmsd(P, target) == pytest.approx(0.0, abs=1e-8)
+
+
+def test_gdt_cutoffs():
+    rng = np.random.default_rng(1)
+    P = rng.normal(size=(100, 3)) * 10
+    scores = gdt(P, P)
+    assert scores == {1.0: 1.0, 2.0: 1.0, 4.0: 1.0, 8.0: 1.0}
+    noisy = P + rng.normal(size=P.shape) * 3.0
+    s2 = gdt(noisy, P)
+    assert s2[1.0] <= s2[2.0] <= s2[4.0] <= s2[8.0]
+
+
+def test_property_maps():
+    # Polar set under Zimmerman<20 split is exactly {R, D, E, H, K}
+    assert convert_seq_to_property("ARNDCQEGHIKLMFPSTWYV", "polarity") == [
+        0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0
+    ]
+    assert convert_seq_to_property("DEKRH", "charge") == [-1, -1, 1, 1, 1]
+    with pytest.raises(ValueError):
+        convert_seq_to_property("A", "mass")
+
+
+def test_modify_structure_with_property(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    prop = np.array(convert_seq_to_property(UBQ_SEQ, "charge"))
+    # Flip first residue to +1: M -> K
+    prop[0] = 1
+    s2 = modify_structure_with_property(s, prop, "charge")
+    assert s2.chains[0].residues[0].res_name == "LYS"
+    assert convert_seq_to_property(s2.sequence1(), "charge") == list(prop)
+
+
+def test_pdb_roundtrip(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    text = s.to_pdb()
+    s2 = parse_pdb_string(text, name="roundtrip")[0]
+    assert s2.sequence1() == UBQ_SEQ
+    np.testing.assert_allclose(s2.coords, s.coords, atol=2e-3)
+
+
+def test_alphanumeric_code_deterministic():
+    code1 = create_map_alphanumeric_code([0, 1, -1, 0])
+    code2 = create_map_alphanumeric_code([0, 1, -1, 0])
+    code3 = create_map_alphanumeric_code([0, 1, 1, 0])
+    assert code1 == code2 and code1 != code3 and len(code1) == 32
+
+
+def test_residue_map(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    rmap, seq = create_residue_map(s)
+    assert seq == UBQ_SEQ
+    assert rmap[0] == "M1 (Chain A)"
+    assert rmap[5] == "K6 (Chain A)"
