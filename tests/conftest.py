@@ -6,7 +6,11 @@ __graft_entry__.dryrun_multichip. Must run before jax initializes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before the CPU backend initializes. The environment may pin
+# JAX_PLATFORMS=axon (real TPU via tunnel) and pre-import jax from
+# sitecustomize, so the env-var route alone is not enough — force the
+# platform through jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +19,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import pathlib
 
+import jax
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

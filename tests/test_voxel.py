@@ -1,0 +1,158 @@
+"""Voxel layer: codec parsing, frame convention, voxelizer invariants."""
+import numpy as np
+import pytest
+
+from timed_design_tpu.structure import load_pdb
+from timed_design_tpu.voxel import (
+    CB_FRAME_OFFSET,
+    Codec,
+    frame_bases,
+    structure_to_frame_atoms,
+    voxelize_frame_atoms,
+    voxelize_structure,
+)
+
+
+def test_codec_parsing():
+    assert Codec.from_string("CNOCBCA").channels == ("C", "N", "O", "CB", "CA")
+    assert Codec.from_string("CNOCACB").channels == ("C", "N", "O", "CA", "CB")
+    assert Codec.from_string("CNOCACBQ").channels == ("C", "N", "O", "CA", "CB", "Q")
+    assert Codec.CNO().n_channels == 3
+    assert Codec.CNOCACBP().property_channel == "P"
+    assert Codec.CNOCACB().property_channel is None
+
+
+def test_codec_atom_channels():
+    c = Codec.from_string("CNOCBCA")
+    assert c.atom_channel("CA", "C") == 4
+    assert c.atom_channel("CB", "C") == 3
+    assert c.atom_channel("C", "C") == 0
+    assert c.atom_channel("N", "N") == 1
+    assert c.atom_channel("O", "O") == 2
+    cno = Codec.CNO()
+    assert cno.atom_channel("CA", "C") == 0  # folds into element channel
+    assert cno.atom_channel("SG", "S") == -1  # dropped
+
+
+def test_frame_convention_matches_reference_cb_offset(ubq_pdb_gz):
+    """The empirical check that identified the frame basis convention.
+
+    Real CB positions, expressed in each residue's frame, must cluster
+    tightly around the reference's documented imputed-CB offset
+    (utils.py:247) — the 1QYS average. Tight std proves the azimuth is
+    pinned correctly; a wrong convention smears the cloud azimuthally.
+    """
+    s = load_pdb(ubq_pdb_gz)
+    bb = s.backbone_arrays()
+    M, valid = frame_bases(bb)
+    cbs = []
+    for i, res in enumerate([r for r in s.residues if r.is_standard_aa]):
+        cb = res.atom("CB")
+        if cb is None or not valid[i]:
+            continue
+        cbs.append(M[i] @ (cb.astype(np.float64) - bb["CA"][i]))
+    cbs = np.array(cbs)
+    mean, std = cbs.mean(0), cbs.std(0)
+    assert np.linalg.norm(mean - CB_FRAME_OFFSET) < 0.1
+    assert (std < 0.15).all()
+
+
+def test_frame_atoms_1ubq(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    codec = Codec.from_string("CNOCBCA")
+    fa = structure_to_frame_atoms(s, codec)
+    # 76 residues x (N, CA, C, O) + 76 imputed CBs
+    assert fa.atoms_xyz.shape == (76 * 5, 3)
+    assert fa.ca.shape == (76, 3)
+    assert fa.rot.shape == (76, 3, 3)
+    assert fa.valid.all()
+    assert len(fa.labels) == 76
+    # channel histogram: 76 atoms per channel
+    counts = np.bincount(fa.atom_channel, minlength=5)
+    np.testing.assert_array_equal(counts, [76] * 5)
+    # rotation matrices orthogonal
+    eye = np.einsum("rij,rkj->rik", fa.rot, fa.rot)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (76, 3, 3)), atol=1e-5)
+
+
+def test_voxelize_gaussian_invariants(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    codec = Codec.from_string("CNOCBCA")
+    frames, fa = voxelize_structure(s, codec)
+    assert frames.shape == (76, 21, 21, 21, 5)
+    assert frames.dtype == np.float32
+    assert (frames >= 0).all()
+    # Own CA sits at the center voxel: CA channel density at center ~ the
+    # center voxel's share of the CA gaussian, and the own-CA total is 1.
+    center = frames[:, 10, 10, 10, 4]
+    assert (center > 0.05).all()
+    # Total per-frame density = number of atoms fully inside the frame box
+    # (each in-frame atom contributes 1 unit; boundary atoms lose clipped mass)
+    totals = frames.sum(axis=(1, 2, 3, 4))
+    assert (totals > 20).all()  # every frame sees its own 5 atoms + neighbors
+    # Frames are distinct
+    assert not np.allclose(frames[0], frames[40])
+
+
+def test_voxelize_boolean_mode(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    codec = Codec.from_string("CNOCBCA")
+    frames, _ = voxelize_structure(s, codec, gaussian=False)
+    vals = np.unique(frames)
+    assert set(vals.tolist()) <= {0.0, 1.0}
+    # CA channel has exactly one voxel set at the center for the own residue
+    assert (frames[:, 10, 10, 10, 4] == 1.0).all()
+
+
+def test_voxelize_property_channel(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    codec = Codec.from_string("CNOCACBQ")
+    frames, fa = voxelize_structure(s, codec)
+    assert frames.shape == (76, 21, 21, 21, 6)
+    q = frames[..., 5]
+    # charge channel carries signed density: 1ubq has K/R (+) and D/E (-)
+    assert q.min() < -1e-3 and q.max() > 1e-3
+    # non-property channels stay non-negative
+    assert (frames[..., :5] >= 0).all()
+
+
+def test_voxelize_atom_conservation():
+    """A single atom far from boundaries contributes exactly 1 unit."""
+    import numpy as np
+    from timed_design_tpu.voxel.frames import FrameAtoms
+    from timed_design_tpu.voxel import voxelize_frame_atoms
+
+    fa = FrameAtoms(
+        atoms_xyz=np.array([[0.3, -0.2, 0.1]], np.float32),
+        atom_channel=np.array([0], np.int32),
+        atom_sigma=np.array([1.7], np.float32),
+        atom_prop=np.array([0.0], np.float32),
+        ca=np.zeros((1, 3), np.float32),
+        rot=np.broadcast_to(np.eye(3, dtype=np.float32), (1, 3, 3)).copy(),
+        valid=np.array([True]),
+        labels=["ALA"], chain_ids=["A"], residue_ids=["1"],
+    )
+    frames = np.asarray(voxelize_frame_atoms(fa, Codec.CNO()))
+    assert frames.shape == (1, 21, 21, 21, 3)
+    np.testing.assert_allclose(frames.sum(), 1.0, atol=1e-5)
+    # all mass in channel 0
+    np.testing.assert_allclose(frames[..., 1:].sum(), 0.0, atol=1e-7)
+
+
+def test_make_frame_dataset_roundtrip(tmp_path, ubq_pdb_gz):
+    import h5py
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    out = make_frame_dataset([ubq_pdb_gz], tmp_path / "data.hdf5", codec="CNOCBCA")
+    with h5py.File(out) as f:
+        assert f.attrs["voxels_as_gaussian"]
+        assert tuple(f.attrs["frame_dims"]) == (21, 21, 21, 5)
+        assert list(f.attrs["atom_encoder"]) == ["C", "N", "O", "CB", "CA"]
+        pdb = list(f.keys())[0]
+        assert pdb == "1ubq"
+        chain = f[pdb]["A"]
+        assert len(chain) == 76
+        d = chain["1"]
+        assert d.shape == (21, 21, 21, 5)
+        assert d.attrs["label"] == "MET"
+        assert np.asarray(d.attrs["encoded_residue"]).sum() == 1

@@ -1,0 +1,101 @@
+"""Datasetmap formats (old CSV and new PDBench/SRB layouts).
+
+The reference keeps per-residue bookkeeping in two text formats
+(design_utils/utils.py:190-227):
+
+  * "old": CSV rows ``pdb,chain,residue_id,label`` — one row per residue;
+  * "new"/SRB: 3 header lines (``ignore_uncommon False``, ``include_pdbs``,
+    ``##########``) then ``<pdb_chain> <count>`` rows (utils.py:533-566).
+
+This module parses and emits both. Internally we use a typed DatasetMap
+instead of raw ndarray tuples.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+SRB_HEADER = "ignore_uncommon False\ninclude_pdbs\n##########\n"
+
+
+@dataclasses.dataclass
+class DatasetMap:
+    """Either per-residue entries (old) or per-chain counts (new)."""
+
+    # old format: [(pdb, chain, residue_id, label)]
+    entries: list[tuple[str, str, str, str]] | None = None
+    # new format: [(pdb_chain, count)]
+    counts: list[tuple[str, int]] | None = None
+
+    @property
+    def is_old(self) -> bool:
+        return self.entries is not None
+
+    @property
+    def n_residues(self) -> int:
+        if self.is_old:
+            return len(self.entries)
+        return sum(c for _, c in self.counts)
+
+    def to_counts(self) -> list[tuple[str, int]]:
+        """Collapse per-residue entries into SRB chain counts.
+
+        Mirrors convert_dataset_map_for_srb (utils.py:533-566): NMR state
+        suffix ``_0`` stripped, chain appended to 4-letter pdb codes.
+        """
+        if not self.is_old:
+            return list(self.counts)
+        count_dict: dict[str, int] = {}
+        for pdb, chain, _, _ in self.entries:
+            if "_0" in pdb:
+                pdb = pdb.split("_0")[0]
+            if len(pdb) == 4:
+                pdb += chain
+            count_dict[pdb] = count_dict.get(pdb, 0) + 1
+        return list(count_dict.items())
+
+
+def load_datasetmap(path: Path, is_old: bool = False) -> DatasetMap:
+    """Parse a datasetmap file; both formats (utils.py:190-227)."""
+    path = Path(path)
+    if path.suffix != ".txt":
+        raise ValueError(f"Expected .txt datasetmap, got {path.suffix}")
+    lines = path.read_text().splitlines()
+    if is_old:
+        entries = []
+        for line in lines:
+            if not line.strip():
+                continue
+            parts = line.split(",")
+            entries.append((parts[0], parts[1], parts[2], parts[3]))
+        return DatasetMap(entries=entries)
+    counts = []
+    for line in lines[3:]:
+        if not line.strip():
+            continue
+        pdb_chain, count = line.split()
+        counts.append((pdb_chain, int(count)))
+    return DatasetMap(counts=counts)
+
+
+def save_datasetmap(dmap: DatasetMap, path: Path) -> Path:
+    """Write the per-residue (old/CSV) format — `datasetmap.txt` in predict
+    outputs (utils.py:763-766)."""
+    path = Path(path)
+    assert dmap.is_old, "per-residue datasetmap required"
+    with open(path, "w") as f:
+        for pdb, chain, rid, label in dmap.entries:
+            f.write(f"{pdb},{chain},{rid},{label}\n")
+    return path
+
+
+def save_srb_datasetmap(
+    dmap: DatasetMap, model_name: str, path_to_output: Path
+) -> Path:
+    """Write the PDBench/SRB format `{model}.txt` (utils.py:533-566)."""
+    path = Path(path_to_output) / f"{model_name}.txt"
+    with open(path, "w") as f:
+        f.write(SRB_HEADER)
+        for pdb_chain, count in dmap.to_counts():
+            f.write(f"{pdb_chain} {count}\n")
+    return path

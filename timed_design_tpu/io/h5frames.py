@@ -1,0 +1,188 @@
+"""aposteriori-HDF5 frame dataset ingest: metadata, flat map, batch streaming.
+
+Reads the dataset layout documented at design_utils/utils.py:238-251 and
+replaces the reference's per-batch ``h5py.File`` reopen + per-residue dataset
+reads (utils.py:487-530 — its I/O bottleneck, SURVEY.md §3.1) with a single
+open handle and a prefetching batch iterator that overlaps HDF5 decompression
+with device compute.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import typing as t
+import warnings
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from ..constants import AA3, AA3_TO_INT, UNCOMMON_RESIDUE_DICT
+from .datasetmap import DatasetMap
+
+
+@dataclasses.dataclass
+class FrameDatasetMetadata:
+    """Validated dataset attrs (reference utils.py:230-281)."""
+
+    make_frame_dataset_ver: str
+    frame_dims: tuple[int, int, int, int]
+    atom_encoder: list[str]
+    encode_cb: bool
+    atom_filter_fn: str
+    residue_encoder: list[str]
+    frame_edge_length: float
+    voxels_as_gaussian: bool
+
+    COMPATIBLE_MAJOR = "2"  # aposteriori 2.x datasets (setup.py pins 2.4.0)
+
+    @staticmethod
+    def from_file(path: Path) -> "FrameDatasetMetadata":
+        with h5py.File(path, "r") as f:
+            a = dict(f.attrs.items())
+        meta = FrameDatasetMetadata(
+            make_frame_dataset_ver=str(a["make_frame_dataset_ver"]),
+            frame_dims=tuple(int(x) for x in a["frame_dims"]),
+            atom_encoder=[str(x) for x in a["atom_encoder"]],
+            encode_cb=bool(a["encode_cb"]),
+            atom_filter_fn=str(a.get("atom_filter_fn", "")),
+            residue_encoder=[str(x) for x in a.get("residue_encoder", [])],
+            frame_edge_length=float(a["frame_edge_length"]),
+            voxels_as_gaussian=bool(a["voxels_as_gaussian"]),
+        )
+        major = meta.make_frame_dataset_ver.split(".")[0]
+        if major != FrameDatasetMetadata.COMPATIBLE_MAJOR:
+            raise ValueError(
+                f"Dataset version {meta.make_frame_dataset_ver} is incompatible "
+                f"with supported major version {FrameDatasetMetadata.COMPATIBLE_MAJOR}. "
+                f"Re-create the dataset."
+            )
+        return meta
+
+
+def get_pdb_keys_to_filter(pdb_key_path: Path, file_extension: str = ".txt") -> list[str]:
+    """Collect 4-letter PDB codes from blacklist files (utils.py:284-315)."""
+    files = list(Path(pdb_key_path).glob(f"**/*{file_extension}"))
+    if not files:
+        raise ValueError("Expected at least 1 pdb key file.")
+    keys: list[str] = []
+    for f in files:
+        for token in f.read_text().split():
+            keys.append(token[:4])
+    return keys
+
+
+def create_flat_dataset_map(
+    frame_dataset: Path,
+    filter_list: t.Sequence[str] = (),
+    remove_blacklist_silently: bool = False,
+) -> tuple[DatasetMap, set[str]]:
+    """Flatten the h5 pdb/chain/residue tree into an ordered residue list.
+
+    Reference behavior (utils.py:318-407): residues sorted numerically within
+    each chain, uncommon residue labels remapped with a warning, blacklisted
+    4-letter codes either rejected (error) or skipped (warning).
+    """
+    entries: list[tuple[str, str, str, str]] = []
+    pdbs: set[str] = set()
+    with h5py.File(frame_dataset, "r") as f:
+        for pdb_code in f:
+            if pdb_code[:4] in filter_list:
+                if remove_blacklist_silently:
+                    warnings.warn(
+                        f"PDB code {pdb_code} was found in benchmark set; removed."
+                    )
+                    continue
+                raise ValueError(
+                    f"PDB code {pdb_code} is blacklisted. Pass "
+                    f"remove_blacklist_silently=True to skip it instead."
+                )
+            for chain_id in f[pdb_code]:
+                chain = f[pdb_code][chain_id]
+                try:
+                    residue_ids = sorted(chain.keys(), key=int)
+                except ValueError:
+                    residue_ids = sorted(chain.keys())
+                for rid in residue_ids:
+                    label = chain[rid].attrs["label"]
+                    label = label.decode() if isinstance(label, bytes) else str(label)
+                    if label not in AA3:
+                        if label in UNCOMMON_RESIDUE_DICT:
+                            warnings.warn(
+                                f"{label} is not a standard residue; converted to "
+                                f"{UNCOMMON_RESIDUE_DICT[label]}."
+                            )
+                            label = UNCOMMON_RESIDUE_DICT[label]
+                        else:
+                            raise ValueError(
+                                f"Expected natural amino acid, but got {label}."
+                            )
+                    entries.append((pdb_code, chain_id, str(rid), label))
+                    pdbs.add(pdb_code)
+    return DatasetMap(entries=entries), pdbs
+
+
+class FrameBatchLoader:
+    """Streamed batch reader over a flat dataset map.
+
+    One persistent h5 handle; a background thread prefetches the next batch
+    while the current one computes — the TPU-native replacement for
+    load_batch's reopen-per-batch pattern (utils.py:487-530).
+
+    Yields ``(X, y)``: frames ``(B, V, V, V, C)`` float32 and one-hot labels
+    ``(B, 20)`` float32. The final batch is padded to ``batch_size`` with
+    zeros (``n_valid`` attribute on the yielded tuple's third element) so
+    every step has the same shape and XLA compiles exactly once.
+    """
+
+    def __init__(
+        self,
+        dataset_path: Path,
+        dmap: DatasetMap,
+        batch_size: int,
+        start_batch: int = 0,
+        prefetch: int = 2,
+    ):
+        assert dmap.is_old, "FrameBatchLoader requires a per-residue dataset map"
+        self.dataset_path = Path(dataset_path)
+        self.entries = dmap.entries
+        self.batch_size = batch_size
+        self.start_batch = start_batch
+        self.prefetch = prefetch
+        self.meta = FrameDatasetMetadata.from_file(self.dataset_path)
+        self.n_batches = -(-len(self.entries) // batch_size)
+
+    def _read_batch(self, f: h5py.File, index: int) -> tuple[np.ndarray, np.ndarray, int]:
+        batch = self.entries[index * self.batch_size : (index + 1) * self.batch_size]
+        dims = self.meta.frame_dims
+        X = np.zeros((self.batch_size, *dims), dtype=np.float32)
+        y = np.zeros((self.batch_size, 20), dtype=np.float32)
+        for i, (pdb, chain, rid, label) in enumerate(batch):
+            node = f[pdb][chain][rid]
+            X[i] = node[()]
+            enc = node.attrs.get("encoded_residue")
+            if enc is not None:
+                y[i] = np.asarray(enc, dtype=np.float32)
+            else:
+                y[i, AA3_TO_INT[label]] = 1.0
+        return X, y, len(batch)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            with h5py.File(self.dataset_path, "r") as f:
+                for index in range(self.start_batch, self.n_batches):
+                    q.put(self._read_batch(f, index))
+            q.put(stop)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        th.join()
