@@ -1,0 +1,162 @@
+"""IO layer: datasetmap formats, writers, h5 ingest, decoding."""
+import numpy as np
+import pytest
+
+from timed_design_tpu.io import (
+    DatasetMap,
+    FrameBatchLoader,
+    FrameDatasetMetadata,
+    create_flat_dataset_map,
+    extract_sequences,
+    load_datasetmap,
+    load_prediction_matrix,
+    save_datasetmap,
+    save_dict_to_fasta,
+    save_prediction_csv,
+    save_sampled,
+    save_srb_datasetmap,
+)
+from timed_design_tpu.voxel import make_frame_dataset
+
+
+@pytest.fixture(scope="module")
+def ubq_h5(tmp_path_factory):
+    from pathlib import Path
+
+    src = Path(__file__).parent / "testing_files" / "1ubq.pdb1.gz"
+    out = tmp_path_factory.mktemp("h5") / "data.hdf5"
+    return make_frame_dataset([src], out, codec="CNOCBCA")
+
+
+def test_flat_dataset_map(ubq_h5):
+    dmap, pdbs = create_flat_dataset_map(ubq_h5)
+    assert pdbs == {"1ubq"}
+    assert dmap.n_residues == 76
+    assert dmap.entries[0] == ("1ubq", "A", "1", "MET")
+    # numerically sorted residue ids
+    ids = [int(e[2]) for e in dmap.entries]
+    assert ids == sorted(ids)
+
+
+def test_blacklist_filtering(ubq_h5):
+    with pytest.raises(ValueError):
+        create_flat_dataset_map(ubq_h5, filter_list=["1ubq"])
+    with pytest.warns(UserWarning):
+        dmap, pdbs = create_flat_dataset_map(
+            ubq_h5, filter_list=["1ubq"], remove_blacklist_silently=True
+        )
+    assert dmap.n_residues == 0
+
+
+def test_metadata(ubq_h5):
+    meta = FrameDatasetMetadata.from_file(ubq_h5)
+    assert meta.frame_dims == (21, 21, 21, 5)
+    assert meta.voxels_as_gaussian
+    assert meta.atom_encoder == ["C", "N", "O", "CB", "CA"]
+
+
+def test_batch_loader(ubq_h5):
+    dmap, _ = create_flat_dataset_map(ubq_h5)
+    loader = FrameBatchLoader(ubq_h5, dmap, batch_size=32)
+    assert loader.n_batches == 3
+    batches = list(loader)
+    assert len(batches) == 3
+    X, y, n = batches[0]
+    assert X.shape == (32, 21, 21, 21, 5) and y.shape == (32, 20) and n == 32
+    # last batch padded: 76 = 32+32+12
+    X2, y2, n2 = batches[2]
+    assert n2 == 12
+    assert (X2[12:] == 0).all()
+    # labels are one-hot; first residue is MET (index 10)
+    assert y[0].sum() == 1 and y[0][10] == 1
+
+
+def test_datasetmap_roundtrip(tmp_path, ubq_h5):
+    dmap, _ = create_flat_dataset_map(ubq_h5)
+    p = save_datasetmap(dmap, tmp_path / "datasetmap.txt")
+    loaded = load_datasetmap(p, is_old=True)
+    assert loaded.entries == dmap.entries
+
+    srb = save_srb_datasetmap(dmap, "TIMED", tmp_path)
+    text = srb.read_text()
+    assert text.startswith("ignore_uncommon False\ninclude_pdbs\n##########\n")
+    assert "1ubqA 76" in text
+    loaded_new = load_datasetmap(srb)
+    assert loaded_new.counts == [("1ubqA", 76)]
+    assert loaded_new.n_residues == 76
+
+
+def test_prediction_csv_float16_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    probs = rng.random((5, 20))
+    probs /= probs.sum(1, keepdims=True)
+    p = save_prediction_csv(probs, "TIMED", tmp_path, float16=True)
+    assert p.name == "TIMED.csv"
+    back = load_prediction_matrix(p)
+    # float16 quirk: roundtrip matches the float16 cast, not the original
+    np.testing.assert_allclose(back, probs.astype(np.float16).astype(np.float64))
+    # rotamer naming (fixes reference predict.py:123 f-string bug)
+    p2 = save_prediction_csv(probs, "TIMED", tmp_path, rotamer=True)
+    assert p2.name == "TIMED_rot.csv"
+
+
+def test_fasta_writer(tmp_path):
+    p = save_dict_to_fasta({"1abcA": "MKV", "2xyzB": "GG"}, "TIMED", tmp_path)
+    assert p.read_text() == ">1abcA\nMKV\n>2xyzB\nGG\n"
+
+
+def test_save_sampled(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    samples = {"1abcA": [("MKV", 0.5, 7.0, 375.2, 0), ("MAV", -0.5, 6.0, 333.0, 0)]}
+    paths = save_sampled(samples, "out", mode="all")
+    assert len(paths) == 3
+    fasta = (tmp_path / "out.fasta").read_text()
+    assert ">1abcA_0\nMKV\n>1abcA_1\nMAV\n" == fasta
+    csv = (tmp_path / "out_metrics.csv").read_text().splitlines()
+    assert csv[0] == "pdb,sequence,charge,isoelectric_point,molecular_weight,molar_extinction"
+    assert csv[1].startswith("1abcA,MKV,0.5,7.0,")
+
+
+def test_extract_sequences_new_map():
+    # 5 residues over two chains, 20 classes
+    P = np.zeros((5, 20))
+    P[np.arange(5), [10, 0, 5, 8, 19]] = 1.0  # M A G K Y
+    dmap = DatasetMap(counts=[("1abcA", 3), ("2xyzB", 2)])
+    dec = extract_sequences(dmap, P)
+    assert dec.pdb_to_sequence == {"1abcA": "MAG", "2xyzB": "KY"}
+    assert dec.pdb_to_probability["1abcA"].shape == (3, 20)
+
+
+def test_extract_sequences_old_map_and_real_seq():
+    P = np.zeros((3, 20))
+    P[:, 0] = 1.0  # AAA predicted
+    dmap = DatasetMap(entries=[
+        ("1abc", "A", "1", "MET"), ("1abc", "A", "2", "LYS"), ("1abc", "A", "3", "GLY"),
+    ])
+    dec = extract_sequences(dmap, P)
+    assert dec.pdb_to_sequence == {"1abcA": "AAA"}
+    assert dec.pdb_to_real_sequence == {"1abcA": "MKG"}
+
+
+def test_extract_sequences_rotamer_categories():
+    from timed_design_tpu.constants import ROTAMER_CATEGORIES
+
+    P = np.zeros((2, 338))
+    P[0, 0] = 1.0  # ALA_0
+    P[1, 68] = 1.0  # LYS_1111
+    dmap = DatasetMap(counts=[("1abcA", 2)])
+    dec = extract_sequences(dmap, P, rotamer_categories=ROTAMER_CATEGORIES)
+    assert dec.pdb_to_sequence == {"1abcA": "AK"}
+
+
+def test_extract_sequences_consensus():
+    P = np.zeros((4, 20))
+    # state 0 prefers A (0.6), state 1 prefers C (0.8) -> consensus prefers C
+    P[0] = P[1] = np.eye(20)[0] * 0.6 + np.eye(20)[1] * 0.4
+    P[2] = P[3] = np.eye(20)[0] * 0.2 + np.eye(20)[1] * 0.8
+    dmap = DatasetMap(counts=[("1abc_0A", 2), ("1abc_1A", 2)])
+    dec = extract_sequences(dmap, P, is_consensus=True)
+    assert dec.pdb_to_consensus == {"1abc": "CC"}
+    np.testing.assert_allclose(
+        dec.pdb_to_consensus_prob["1abc"][0][:2], [0.4, 0.6]
+    )

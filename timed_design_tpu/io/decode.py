@@ -1,0 +1,118 @@
+"""Prediction decoding: probability matrix + datasetmap -> sequences.
+
+Vectorized re-implementation of `extract_sequence_from_pred_matrix`
+(reference design_utils/utils.py:616-723): argmax decode per residue, split
+into per-structure sequences by the datasetmap, rotamer-category decoding,
+and the NMR multi-state consensus averaging flow.
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing as t
+
+import numpy as np
+
+from ..constants import AA1, AA3_TO_AA1
+from .datasetmap import DatasetMap
+
+
+@dataclasses.dataclass
+class DecodedPredictions:
+    pdb_to_sequence: dict[str, str]
+    pdb_to_probability: dict[str, np.ndarray]
+    pdb_to_real_sequence: dict[str, str]
+    pdb_to_consensus: dict[str, str] | None = None
+    pdb_to_consensus_prob: dict[str, np.ndarray] | None = None
+
+    def astuple(self):
+        """Reference-shaped 5-tuple (utils.py:715-723)."""
+        return (
+            self.pdb_to_sequence,
+            self.pdb_to_probability,
+            self.pdb_to_real_sequence,
+            self.pdb_to_consensus,
+            self.pdb_to_consensus_prob,
+        )
+
+
+def _category_letters(rotamer_categories: t.Sequence[str] | None) -> list[str]:
+    """Class index -> one-letter residue. Handles 20-class (None), 338-class
+    ('ALA_0' style), and pre-flattened one-letter category lists."""
+    if rotamer_categories is None:
+        return list(AA1)
+    if len(rotamer_categories[0]) == 1:
+        return list(rotamer_categories)
+    return [AA3_TO_AA1[c.split("_")[0]] for c in rotamer_categories]
+
+
+def extract_sequences(
+    dmap: DatasetMap,
+    prediction_matrix: np.ndarray,
+    rotamer_categories: t.Sequence[str] | None = None,
+    is_consensus: bool = False,
+) -> DecodedPredictions:
+    """Decode a (N, n_classes) probability matrix into per-structure results.
+
+    Reference semantics (utils.py:616-723):
+      * old datasetmap: per-residue rows keyed by ``pdb + chain``, real
+        sequence recovered from the label column;
+      * new datasetmap: ``(pdb_chain, count)`` blocks indexing consecutive
+        prediction rows;
+      * consensus mode: NMR states named ``<pdb>_<i>`` averaged pairwise in
+        order (running (prev+cur)/2, reproducing the reference's weighting),
+        then argmax-decoded.
+    """
+    P = np.asarray(prediction_matrix)
+    if P.ndim == 1:
+        P = P[None, :]
+    letters = np.array(_category_letters(rotamer_categories))
+    max_idx = P.argmax(axis=1)
+
+    pdb_to_sequence: dict[str, str] = {}
+    pdb_to_probability: dict[str, np.ndarray] = {}
+    pdb_to_real_sequence: dict[str, str] = {}
+
+    if dmap.is_old:
+        keys = np.array([e[0] + e[1] for e in dmap.entries])
+        reals = [AA3_TO_AA1.get(e[3], "X") for e in dmap.entries]
+        for key in dict.fromkeys(keys):  # preserve first-seen order
+            sel = keys == key
+            pdb_to_probability[key] = P[sel]
+            pdb_to_sequence[key] = "".join(letters[max_idx[sel]])
+            pdb_to_real_sequence[key] = "".join(
+                r for r, m in zip(reals, sel) if m
+            )
+    else:
+        offset = 0
+        for pdb_chain, count in dmap.counts:
+            rows = slice(offset, offset + count)
+            pdb_to_probability[pdb_chain] = P[rows]
+            pdb_to_sequence[pdb_chain] = "".join(letters[max_idx[rows]])
+            pdb_to_real_sequence[pdb_chain] = ""
+            offset += count
+
+    if not is_consensus:
+        return DecodedPredictions(pdb_to_sequence, pdb_to_probability, pdb_to_real_sequence)
+
+    # NMR consensus: running pairwise average over states sharing a base code
+    # (reference utils.py:694-713 — including its (prev+cur)/2 weighting).
+    pdb_to_consensus_prob: dict[str, np.ndarray] = {}
+    for pdb_chain in pdb_to_sequence:
+        base = pdb_chain.split("_")[0]
+        if base not in pdb_to_consensus_prob:
+            pdb_to_consensus_prob[base] = np.array(pdb_to_probability[pdb_chain])
+        else:
+            pdb_to_consensus_prob[base] = (
+                pdb_to_consensus_prob[base] + np.array(pdb_to_probability[pdb_chain])
+            ) / 2
+    pdb_to_consensus = {
+        base: "".join(letters[prob.argmax(axis=1)])
+        for base, prob in pdb_to_consensus_prob.items()
+    }
+    return DecodedPredictions(
+        pdb_to_sequence,
+        pdb_to_probability,
+        pdb_to_real_sequence,
+        pdb_to_consensus,
+        pdb_to_consensus_prob,
+    )

@@ -1,0 +1,125 @@
+"""Output writers, byte-compatible with the reference at the edges.
+
+Emits the same artifact set as predict.py/sample.py (reference README.md:119-
+131): per-model probability CSVs (float16 quirk preserved as an option,
+utils.py:768), encoded-label CSVs, datasetmap.txt, fasta files, PDBench/SRB
+datasetmaps, and consensus probability files. Keeping these byte-compatible
+lets PDBench / downstream scripts consume our outputs unchanged.
+"""
+from __future__ import annotations
+
+import json
+import typing as t
+from pathlib import Path
+
+import numpy as np
+
+from .datasetmap import DatasetMap, save_srb_datasetmap  # noqa: F401 (re-export)
+
+
+def save_dict_to_fasta(
+    pdb_to_sequence: dict[str, str], model_name: str, path_to_output: Path = Path.cwd()
+) -> Path:
+    """``>{pdb}\\n{seq}`` fasta writer (reference utils.py:595-613)."""
+    path = Path(path_to_output) / f"{model_name}.fasta"
+    with open(path, "w") as f:
+        for pdb, seq in pdb_to_sequence.items():
+            f.write(f">{pdb}\n{seq}\n")
+    return path
+
+
+def save_prediction_csv(
+    probs: np.ndarray,
+    model_name: str,
+    path_to_output: Path = Path.cwd(),
+    append: bool = True,
+    float16: bool = True,
+    rotamer: bool = False,
+) -> Path:
+    """Append a probability block to ``{model}.csv`` / ``{model}_rot.csv``.
+
+    ``float16=True`` reproduces the reference's precision quirk
+    (utils.py:768: predictions cast to float16 before savetxt) so outputs are
+    numerically identical; pass False for full precision. Rotamer outputs get
+    the ``_rot.csv`` suffix (fixing the reference's missing f-prefix at
+    predict.py:123 — downstream scripts expect ``TIMED_rot.csv``).
+    """
+    suffix = "_rot.csv" if rotamer else ".csv"
+    path = Path(path_to_output) / f"{model_name}{suffix}"
+    data = np.asarray(probs)
+    if float16:
+        data = data.astype(np.float16)
+    with open(path, "a" if append else "w") as f:
+        np.savetxt(f, data, delimiter=",")
+    return path
+
+
+def save_encoded_labels(
+    y_true: np.ndarray, path_to_output: Path = Path.cwd(), append: bool = True
+) -> Path:
+    """``encoded_labels.csv`` int one-hot rows (utils.py:753-760)."""
+    path = Path(path_to_output) / "encoded_labels.csv"
+    with open(path, "a" if append else "w") as f:
+        np.savetxt(f, np.asarray(y_true), delimiter=",", fmt="%i")
+    return path
+
+
+def save_consensus_probs(
+    pdb_to_consensus_prob: dict[str, np.ndarray],
+    model_name: str,
+    path_to_output: Path = Path.cwd(),
+) -> tuple[Path, Path]:
+    """SRB-format consensus outputs (utils.py:569-592): ``{model}_consensus.txt``
+    count header + ``{model}_consensus.csv`` stacked probabilities."""
+    path_txt = Path(path_to_output) / f"{model_name}_consensus.txt"
+    path_csv = Path(path_to_output) / f"{model_name}_consensus.csv"
+    with open(path_txt, "w") as d, open(path_csv, "a") as p:
+        d.write("ignore_uncommon False\ninclude_pdbs\n##########\n")
+        for pdb, predictions in pdb_to_consensus_prob.items():
+            d.write(f"{pdb} {len(predictions)}\n")
+            np.savetxt(p, np.asarray(predictions), delimiter=",")
+    return path_txt, path_csv
+
+
+def save_sampled(
+    pdb_to_sampled: dict[str, list[tuple]],
+    filename: str,
+    mode: str = "all",
+) -> list[str]:
+    """Sampled-sequence writers (reference sampling_utils.py:12-50).
+
+    ``pdb_to_sampled`` maps pdb -> list of (sequence, charge, iso_ph, mw, ext)
+    tuples. Writes fasta and/or json plus the metrics CSV with the reference's
+    exact header.
+    """
+    output_paths = []
+    if mode != "fasta":
+        path = f"{filename}.json"
+        output_paths.append(path)
+        with open(path, "w") as f:
+            json.dump(
+                {pdb: [list(s) for s in seqs] for pdb, seqs in pdb_to_sampled.items()},
+                f,
+            )
+    if mode != "json":
+        path = f"{filename}.fasta"
+        output_paths.append(path)
+        with open(path, "w") as f:
+            for pdb, seq_list in pdb_to_sampled.items():
+                for i, seq in enumerate(seq_list):
+                    f.write(f">{pdb}_{i}\n{seq[0]}\n")
+    path = f"{filename}_metrics.csv"
+    output_paths.append(path)
+    with open(path, "w") as f:
+        f.write(
+            "pdb,sequence,charge,isoelectric_point,molecular_weight,molar_extinction\n"
+        )
+        for pdb, seq_list in pdb_to_sampled.items():
+            for seq in seq_list:
+                f.write(f"{pdb},{seq[0]},{seq[1]},{seq[2]},{seq[3]},{seq[4]}\n")
+    return output_paths
+
+
+def load_prediction_matrix(path: Path, dtype=np.float64) -> np.ndarray:
+    """Load a probability CSV back (reference predict.py:163, sample.py:32)."""
+    return np.loadtxt(Path(path), delimiter=",", dtype=dtype, ndmin=2)
