@@ -1,0 +1,66 @@
+"""Native Flax model zoo: shapes, probabilities, registry, train mode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from timed_design_tpu.models import (
+    MODEL_REGISTRY,
+    densecpd,
+    densenet,
+    get_model_spec,
+    prodconn,
+    timed,
+    timed_rotamer_not_so_deep,
+)
+
+
+@pytest.mark.parametrize(
+    "ctor,n_classes",
+    [(timed, 20), (timed_rotamer_not_so_deep, 338), (prodconn, 20), (densenet, 20)],
+)
+def test_forward_shapes_and_probs(ctor, n_classes):
+    model = ctor()
+    x = jnp.asarray(np.random.default_rng(0).random((2, 21, 21, 21, 5)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    out = jax.jit(lambda v, x: model.apply(v, x))(variables, x)
+    assert out.shape == (2, n_classes)
+    np.testing.assert_allclose(np.asarray(out.sum(axis=1)), 1.0, atol=1e-5)
+    assert (np.asarray(out) >= 0).all()
+
+
+def test_registry_complete():
+    # every reference zoo name resolves (ui.py:732-748)
+    for name in [
+        "TIMED", "TIMED_Deep", "TIMED_Charge", "TIMED_Polar", "TIMED_rotamer",
+        "TIMED_rotamer_balanced", "TIMED_rotamer_not_so_deep",
+        "TIMED_rotamer_deep", "ProDCoNN", "DenseNet", "DenseCPD",
+    ]:
+        spec = get_model_spec(name)
+        assert spec.n_classes in (20, 338)
+    assert get_model_spec("timed").name == "TIMED"  # case-insensitive
+    with pytest.raises(KeyError):
+        get_model_spec("nope")
+    # property models carry property codecs
+    assert get_model_spec("TIMED_Charge").codec.endswith("Q")
+    assert get_model_spec("TIMED_Polar").codec.endswith("P")
+
+
+def test_train_mode_runs_with_dropout_and_bn():
+    model = timed(filters=(8, 8))
+    x = jnp.ones((2, 21, 21, 21, 5), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    out, mutated = model.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.key(1)},
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (2, 20)
+    assert "batch_stats" in mutated
+
+
+def test_densecpd_deeper_than_densenet():
+    x = jnp.ones((1, 21, 21, 21, 5), jnp.float32)
+    n_dn = sum(p.size for p in jax.tree.leaves(densenet().init(jax.random.key(0), x)))
+    n_cpd = sum(p.size for p in jax.tree.leaves(densecpd().init(jax.random.key(0), x)))
+    assert n_cpd > n_dn
