@@ -1,0 +1,104 @@
+"""Engine: end-to-end prediction pipeline on the 1ubq fixture.
+
+This is the minimum end-to-end slice (SURVEY.md §7 step 3): HDF5 frames ->
+jitted CNN -> probability CSV + fasta, with the full reference artifact set.
+Runs on the 8-virtual-device CPU mesh so batch sharding is exercised.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from timed_design_tpu.engine import (
+    Predictor,
+    load_dataset_and_predict,
+    predict_structure,
+)
+from timed_design_tpu.io import load_prediction_matrix
+from timed_design_tpu.voxel import make_frame_dataset
+
+
+@pytest.fixture(scope="module")
+def ubq_h5(tmp_path_factory):
+    src = Path(__file__).parent / "testing_files" / "1ubq.pdb1.gz"
+    out = tmp_path_factory.mktemp("h5") / "data.hdf5"
+    return make_frame_dataset([src], out, codec="CNOCACB")
+
+
+def test_predictor_batching_and_sharding():
+    """Padding + mesh sharding give identical results to a plain forward."""
+    import jax
+    import jax.numpy as jnp
+    from timed_design_tpu.models import timed
+    from timed_design_tpu.parallel import make_mesh
+
+    model = timed(filters=(8,))
+    x = np.random.default_rng(0).random((19, 21, 21, 21, 5)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x[:1]))
+    mesh = make_mesh()  # 8 virtual CPU devices
+    assert mesh.shape["data"] == 8
+    pred = Predictor((model, variables), batch_size=8, mesh=mesh)
+    probs = pred.predict_probs(x)
+    assert probs.shape == (19, 20)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(probs, ref, atol=1e-5)
+
+
+def test_load_dataset_and_predict_artifacts(tmp_path, monkeypatch, ubq_h5):
+    monkeypatch.chdir(tmp_path)
+    result = load_dataset_and_predict(
+        ["TIMED_rotamer_not_so_deep"],
+        ubq_h5,
+        batch_size=32,
+        path_to_output=tmp_path,
+        predict_rotamers=True,
+    )
+    # artifact set (reference README.md:119-131)
+    name = "TIMED_rotamer_not_so_deep"
+    assert (tmp_path / f"{name}_rot.csv").exists()
+    assert (tmp_path / f"{name}.csv").exists()
+    assert (tmp_path / f"{name}.fasta").exists()
+    assert (tmp_path / "dataset.fasta").exists()
+    assert (tmp_path / "datasetmap.txt").exists()
+    assert (tmp_path / "encoded_labels.csv").exists()
+    assert (tmp_path / f"{name}.txt").exists()
+
+    rot = load_prediction_matrix(tmp_path / f"{name}_rot.csv")
+    assert rot.shape == (76, 338)
+    np.testing.assert_allclose(rot.sum(axis=1), 1.0, atol=1e-4)
+    onehot = load_prediction_matrix(tmp_path / f"{name}.csv")
+    assert onehot.shape == (76, 20)
+    np.testing.assert_array_equal(onehot.sum(axis=1), 1.0)
+
+    # decoded sequences: 76 residues, real sequence recovered from labels
+    seq = result.pdb_to_sequence["1ubqA"]
+    assert len(seq) == 76
+    assert result.pdb_to_real_sequence["1ubqA"].startswith("MQIFVKTLTG")
+
+    # fasta round-trip
+    fasta = (tmp_path / f"{name}.fasta").read_text()
+    assert fasta == f">1ubqA\n{seq}\n"
+
+    # SRB datasetmap
+    srb = (tmp_path / f"{name}.txt").read_text()
+    assert srb.endswith("1ubqA 76\n")
+
+
+def test_predict_structure_no_h5(ubq_pdb_gz):
+    """PDB -> frames -> probs entirely on device (no intermediate file)."""
+    probs, fa = predict_structure(ubq_pdb_gz, "TIMED", codec="CNOCACB")
+    assert probs.shape == (76, 20)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    assert len(fa.labels) == 76
+
+
+def test_resume_start_batch(ubq_h5):
+    """start_batch resume support (reference predict.py:54-57): the loader
+    skips already-processed batches."""
+    from timed_design_tpu.io import FrameBatchLoader, create_flat_dataset_map
+
+    dmap, _ = create_flat_dataset_map(ubq_h5)
+    full = list(FrameBatchLoader(ubq_h5, dmap, batch_size=32))
+    resumed = list(FrameBatchLoader(ubq_h5, dmap, batch_size=32, start_batch=2))
+    assert len(full) == 3 and len(resumed) == 1
+    np.testing.assert_array_equal(full[2][0], resumed[0][0])

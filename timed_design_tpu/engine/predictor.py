@@ -1,0 +1,260 @@
+"""Batched prediction engine: frames -> per-residue probabilities -> outputs.
+
+TPU-native redesign of the reference's core engine `load_dataset_and_predict`
+(predict.py:28-194). Differences by design:
+
+  * one jit-compiled program per model (fixed batch shape; final batch is
+    padded) instead of per-batch `model.predict` calls;
+  * frames stream through a prefetching loader (io/h5frames.py) with
+    host->device transfer overlapped with compute, instead of reopening the
+    HDF5 file per batch (utils.py:514 — the reference's I/O bottleneck);
+  * probabilities accumulate on host in float32 and are written once per
+    model, not appended CSV per batch (the append-mode resume behavior is
+    kept via ``start_batch``);
+  * multi-chip: the batch axis shards over a `Mesh`'s data axis (weights
+    replicated) — the idiomatic replacement for the reference's absent
+    multi-device path.
+
+The emitted artifact set matches the reference byte-for-byte where formats
+matter: `{model}.csv` (float16), `{model}_rot.csv` (raw 338-class, full
+precision), `encoded_labels.csv`, `datasetmap.txt`, SRB `{model}.txt`,
+`{model}.fasta`, `dataset.fasta`, consensus files (README.md:119-131).
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing as t
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import ROTAMER_CATEGORIES, ROTAMER_TO_AA_ONEHOT
+from ..io import (
+    DatasetMap,
+    FrameBatchLoader,
+    create_flat_dataset_map,
+    extract_sequences,
+    get_pdb_keys_to_filter,
+    load_datasetmap,
+    save_consensus_probs,
+    save_datasetmap,
+    save_dict_to_fasta,
+    save_encoded_labels,
+    save_prediction_csv,
+    save_srb_datasetmap,
+)
+from ..models import KerasH5Model, ModelSpec
+from ..parallel.mesh import batch_sharding, make_mesh, replicate
+from ..utils.timing import PhaseTimer
+
+
+@dataclasses.dataclass
+class PredictionResult:
+    """Reference-shaped result bundle (predict.py:187-194)."""
+
+    flat_dataset_map: DatasetMap
+    pdb_to_sequence: dict[str, str]
+    pdb_to_probability: dict[str, np.ndarray]
+    pdb_to_real_sequence: dict[str, str]
+    pdb_to_consensus: dict[str, str] | None
+    pdb_to_consensus_prob: dict[str, np.ndarray] | None
+    timings: dict[str, float] = dataclasses.field(default_factory=dict)
+
+
+class Predictor:
+    """Jit-compiled batched forward pass over a device mesh."""
+
+    def __init__(
+        self,
+        model: t.Union[KerasH5Model, tuple],
+        batch_size: int = 512,
+        mesh=None,
+        donate: bool = True,
+    ):
+        """``model``: a KerasH5Model, or ``(flax_module, variables)``."""
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_data = self.mesh.shape["data"]
+        # round batch up so it splits evenly across the data axis
+        self.batch_size = -(-batch_size // n_data) * n_data
+
+        if isinstance(model, KerasH5Model):
+            fn = model.apply
+            params = model.weights
+            self.n_classes = model.n_classes
+        else:
+            module, params = model
+            fn = lambda v, x: module.apply(v, x)  # noqa: E731
+            self.n_classes = module.n_classes
+        self.params = replicate(params, self.mesh)
+        self._sharding = batch_sharding(self.mesh)
+        self._fn = jax.jit(
+            fn,
+            in_shardings=(None, self._sharding),
+            out_shardings=self._sharding,
+        )
+
+    def predict_probs(self, frames: np.ndarray) -> np.ndarray:
+        """Predict (N, n_classes) for any N — pads to the compiled batch."""
+        N = frames.shape[0]
+        out = np.empty((N, self.n_classes), np.float32)
+        for start in range(0, N, self.batch_size):
+            chunk = frames[start : start + self.batch_size]
+            n = chunk.shape[0]
+            if n < self.batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((self.batch_size - n, *chunk.shape[1:]), chunk.dtype)]
+                )
+            x = jax.device_put(jnp.asarray(chunk), self._sharding)
+            out[start : start + n] = np.asarray(self._fn(self.params, x))[:n]
+        return out
+
+
+def _resolve_model(m, models_dir: Path | None = None):
+    """Path/.h5 -> KerasH5Model; registry name -> randomly-initialized Flax
+    model (useful for benchmarks; real use imports released weights)."""
+    from ..models import load_model
+
+    if isinstance(m, KerasH5Model):
+        return m, m.name
+    if isinstance(m, tuple):
+        return m, getattr(m[0], "name", "model")
+    resolved = load_model(m)
+    if isinstance(resolved, KerasH5Model):
+        return resolved, resolved.name
+    spec: ModelSpec = resolved
+    module = spec.build()
+    from ..voxel import Codec
+
+    codec = Codec.from_string(spec.codec)
+    x = jnp.zeros((1, 21, 21, 21, codec.n_channels), jnp.float32)
+    variables = module.init(jax.random.key(0), x)
+    return (module, variables), spec.name
+
+
+def load_dataset_and_predict(
+    models: list,
+    dataset_path: Path,
+    batch_size: int = 512,
+    start_batch: int = 0,
+    dataset_map_path: Path = Path("datasetmap.txt"),
+    blacklist: Path | None = None,
+    predict_rotamers: bool = False,
+    model_name_suffix: str = "",
+    is_consensus: bool = False,
+    path_to_output: Path = Path.cwd(),
+    mesh=None,
+    float16_decode: bool = True,
+) -> PredictionResult:
+    """Engine entry point — reference-parity surface (predict.py:28-194).
+
+    For each model: stream all frames from the HDF5 dataset, predict, and
+    emit the full artifact set. In rotamer mode the raw 338-class matrix goes
+    to ``{model}_rot.csv`` and the argmax-collapsed 20-class one-hots to
+    ``{model}.csv``; the fasta decode runs on the 338-class matrix cast to
+    float16 (mirroring the reference's CSV round-trip at predict.py:163) so
+    argmax tie-breaking matches bit-for-bit.
+    """
+    timer = PhaseTimer()
+    path_to_output = Path(path_to_output)
+    dataset_path = Path(dataset_path)
+
+    filter_list = get_pdb_keys_to_filter(blacklist) if blacklist else []
+
+    with timer.phase("datasetmap"):
+        if Path(dataset_map_path).exists():
+            dmap = load_datasetmap(Path(dataset_map_path), is_old=True)
+        else:
+            dmap, _ = create_flat_dataset_map(
+                dataset_path, filter_list, remove_blacklist_silently=True
+            )
+            save_datasetmap(dmap, path_to_output / "datasetmap.txt")
+
+    result: PredictionResult | None = None
+    for model_i, m in enumerate(models):
+        model, model_name = _resolve_model(m)
+        model_name += model_name_suffix
+        predictor = Predictor(model, batch_size=batch_size, mesh=mesh)
+
+        loader = FrameBatchLoader(
+            dataset_path, dmap, batch_size=predictor.batch_size, start_batch=start_batch
+        )
+        probs_parts, labels_parts = [], []
+        with timer.phase("predict"):
+            for X, y, n_valid in loader:
+                p = predictor.predict_probs(X[:n_valid])
+                probs_parts.append(p)
+                labels_parts.append(y[:n_valid])
+        probs = np.concatenate(probs_parts) if probs_parts else np.zeros((0, 20))
+        y_true = np.concatenate(labels_parts) if labels_parts else np.zeros((0, 20))
+
+        with timer.phase("write"):
+            if model_i == 0:
+                save_encoded_labels(y_true.astype(np.int64), path_to_output)
+            if predict_rotamers:
+                save_prediction_csv(
+                    probs, model_name, path_to_output, float16=False, rotamer=True
+                )
+                onehot20 = ROTAMER_TO_AA_ONEHOT[probs.argmax(axis=1)]
+                save_prediction_csv(onehot20, model_name, path_to_output, float16=True)
+            else:
+                save_prediction_csv(probs, model_name, path_to_output, float16=True)
+            save_srb_datasetmap(dmap, model_name, path_to_output)
+
+        with timer.phase("decode"):
+            decode_probs = probs.astype(np.float16) if float16_decode else probs
+            decoded = extract_sequences(
+                dmap,
+                decode_probs.astype(np.float64),
+                rotamer_categories=ROTAMER_CATEGORIES if predict_rotamers else None,
+                is_consensus=is_consensus,
+            )
+
+        with timer.phase("write"):
+            save_dict_to_fasta(decoded.pdb_to_sequence, model_name, path_to_output)
+            save_dict_to_fasta(decoded.pdb_to_real_sequence, "dataset", path_to_output)
+            if decoded.pdb_to_consensus:
+                save_dict_to_fasta(
+                    decoded.pdb_to_consensus, model_name + "_consensus", path_to_output
+                )
+                save_consensus_probs(
+                    decoded.pdb_to_consensus_prob, model_name, path_to_output
+                )
+
+        result = PredictionResult(
+            dmap, *decoded.astuple(), timings=timer.summary()
+        )
+    assert result is not None, "no models given"
+    return result
+
+
+def predict_structure(
+    structure_or_path,
+    model,
+    codec=None,
+    gaussian: bool = True,
+    batch_size: int = 512,
+    mesh=None,
+):
+    """Full on-device pipeline: PDB -> frames -> probabilities.
+
+    The no-HDF5 fast path (the UI's interactive flow, ui.py:916-947, without
+    the intermediate dataset file): voxelization and CNN run back-to-back on
+    device. Returns (probs (R, n_classes), FrameAtoms).
+    """
+    from ..structure import Structure, load_pdb
+    from ..voxel import Codec, structure_to_frame_atoms, voxelize_frame_atoms
+
+    if not isinstance(structure_or_path, Structure):
+        structure_or_path = load_pdb(Path(structure_or_path))
+    resolved, _ = _resolve_model(model)
+    if codec is None:
+        codec = Codec.CNOCACB()
+    elif isinstance(codec, str):
+        codec = Codec.from_string(codec)
+    fa = structure_to_frame_atoms(structure_or_path, codec)
+    frames = voxelize_frame_atoms(fa, codec, gaussian=gaussian)
+    predictor = Predictor(resolved, batch_size=batch_size, mesh=mesh)
+    probs = predictor.predict_probs(np.asarray(frames))
+    return probs, fa
