@@ -1,0 +1,123 @@
+"""Sequence metrics: charge, isoelectric point, MW, molar extinction.
+
+Replaces the reference's per-sequence ampal calls (`calculate_seq_metrics`,
+analyse_utils.py:351-371 — the sampling hot loop's dominant cost, SURVEY.md
+§3.2) with a batched, jit-compiled implementation. The key observation: all
+four metrics are functions of the per-class residue *counts* only, so a batch
+of B sampled sequences reduces to a (B, 20) count matrix (one masked one-hot
+sum) and every metric — including the isoelectric point via a fully
+vectorized 60-step bisection — is O(B x 20) arithmetic on device.
+
+Charge model: Henderson–Hasselbalch over side-chain and terminal groups with
+the EMBOSS pKa set (constants/amino_acids.py — swap the table for parity
+with another package's values).
+"""
+from __future__ import annotations
+
+import functools
+import typing as t
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    AA1_TO_INT,
+    EXT280_ARR,
+    MW_ARR,
+    PKA_NEGATIVE,
+    PKA_POSITIVE,
+    PKA_SIDECHAIN_ARR,
+    PKA_SIGN_ARR,
+    WATER_MASS,
+)
+
+_PKA = jnp.asarray(np.nan_to_num(PKA_SIDECHAIN_ARR, nan=0.0), jnp.float32)
+_SIGN = jnp.asarray(PKA_SIGN_ARR, jnp.float32)
+_MW = jnp.asarray(MW_ARR, jnp.float32)
+_EXT = jnp.asarray(EXT280_ARR, jnp.float32)
+_PKA_NTERM = PKA_POSITIVE["Nterm"]
+_PKA_CTERM = PKA_NEGATIVE["Cterm"]
+
+
+def counts_from_codes(codes: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """(..., L) int codes -> (..., 20) per-class counts (masked)."""
+    onehot = jax.nn.one_hot(codes, 20, dtype=jnp.float32)
+    if mask is not None:
+        onehot = onehot * mask[..., None]
+    return onehot.sum(axis=-2)
+
+
+def _charge_from_counts(counts: jax.Array, ph: jax.Array) -> jax.Array:
+    """Net charge at pH for count vectors. ph broadcasts against counts[...,0]."""
+    ph = ph[..., None]  # (..., 1) vs (..., 20)
+    pos = 1.0 / (1.0 + 10.0 ** (ph - _PKA))
+    neg = -1.0 / (1.0 + 10.0 ** (_PKA - ph))
+    contrib = jnp.where(_SIGN > 0, pos, jnp.where(_SIGN < 0, neg, 0.0))
+    side = (counts * contrib).sum(axis=-1)
+    n_term = 1.0 / (1.0 + 10.0 ** (ph[..., 0] - _PKA_NTERM))
+    c_term = -1.0 / (1.0 + 10.0 ** (_PKA_CTERM - ph[..., 0]))
+    return side + n_term + c_term
+
+
+@jax.jit
+def batched_metrics_from_counts(counts: jax.Array, ph: float = 7.4):
+    """(B, 20) counts -> dict of (B,) metrics: charge, pI, MW, ext280."""
+    charge = _charge_from_counts(counts, jnp.full(counts.shape[:-1], ph))
+
+    def bisect_body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) / 2
+        c = _charge_from_counts(counts, mid)
+        lo = jnp.where(c > 0, mid, lo)
+        hi = jnp.where(c > 0, hi, mid)
+        return lo, hi
+
+    lo = jnp.zeros(counts.shape[:-1])
+    hi = jnp.full(counts.shape[:-1], 14.0)
+    lo, hi = jax.lax.fori_loop(0, 60, bisect_body, (lo, hi))
+    iso = (lo + hi) / 2
+
+    mw = counts @ _MW + WATER_MASS
+    ext = counts @ _EXT
+    return {"charge": charge, "isoelectric_point": iso,
+            "molecular_weight": mw, "molar_extinction_280": ext}
+
+
+def sequence_metrics(seq: str, ph: float = 7.4) -> tuple[float, float, float, float]:
+    """Host convenience: one sequence -> (charge, pI, MW, ext280).
+
+    Reference-shaped return (analyse_utils.py:351-371).
+    """
+    codes = jnp.asarray([AA1_TO_INT[c] for c in seq], jnp.int32)
+    counts = counts_from_codes(codes[None, :])
+    m = batched_metrics_from_counts(counts, ph=ph)
+    return (
+        float(m["charge"][0]),
+        float(m["isoelectric_point"][0]),
+        float(m["molecular_weight"][0]),
+        float(m["molar_extinction_280"][0]),
+    )
+
+
+# Aliases mirroring the ampal function names used by the reference
+# (analyse_utils.py:15-20).
+def sequence_charge(seq: str, ph: float = 7.4) -> float:
+    return sequence_metrics(seq, ph)[0]
+
+
+def sequence_isoelectric_point(seq: str) -> float:
+    return sequence_metrics(seq)[1]
+
+
+def sequence_molecular_weight(seq: str) -> float:
+    return sequence_metrics(seq)[2]
+
+
+def sequence_molar_extinction_280(seq: str) -> float:
+    return sequence_metrics(seq)[3]
+
+
+def calculate_seq_metrics(seq: str) -> tuple[float, float, float, float]:
+    """Reference-named alias (analyse_utils.py:351)."""
+    return sequence_metrics(seq)

