@@ -64,7 +64,7 @@ class DenseNet3D(nn.Module):
     compute_dtype: t.Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, logits: bool = False):
         x = x.astype(self.compute_dtype)
         x = nn.Conv(self.init_features, (3, 3, 3), padding="SAME",
                     dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
@@ -78,7 +78,7 @@ class DenseNet3D(nn.Module):
         x = nn.relu(x)
         x = global_average_pool_3d(x)
         x = nn.Dense(self.n_classes, param_dtype=jnp.float32)(x)
-        return nn.softmax(x, axis=-1)
+        return x if logits else nn.softmax(x, axis=-1)
 
 
 def densenet(n_classes: int = 20, **kw) -> DenseNet3D:

@@ -22,7 +22,7 @@ class ProDCoNN(nn.Module):
     compute_dtype: t.Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, logits: bool = False):
         x = x.astype(self.compute_dtype)
         dt = dict(dtype=self.compute_dtype, param_dtype=jnp.float32)
         # Two parallel feature extractors with different receptive fields
@@ -38,7 +38,8 @@ class ProDCoNN(nn.Module):
         if train:
             x = nn.Dropout(0.2, deterministic=False)(x, rng=self.make_rng("dropout"))
         x = nn.Dense(self.n_classes, **dt)(x.astype(jnp.float32))
-        return nn.softmax(x.astype(jnp.float32), axis=-1)
+        x = x.astype(jnp.float32)
+        return x if logits else nn.softmax(x, axis=-1)
 
 
 def prodconn(n_classes: int = 20, **kw) -> ProDCoNN:

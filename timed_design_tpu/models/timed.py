@@ -32,7 +32,7 @@ class TIMED(nn.Module):
     compute_dtype: t.Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, logits: bool = False):
         x = x.astype(self.compute_dtype)
         for f in self.filters:
             x = ConvBlock(f, compute_dtype=self.compute_dtype)(x, train=train)
@@ -47,7 +47,7 @@ class TIMED(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         x = global_average_pool_3d(x.astype(jnp.float32))
-        return nn.softmax(x, axis=-1)
+        return x if logits else nn.softmax(x, axis=-1)
 
 
 def timed(n_classes: int = 20, **kw) -> TIMED:

@@ -1,0 +1,182 @@
+"""Training subsystem: sharded train step + fit loop for the model zoo.
+
+The reference ships NO training code — models arrive as `.h5` releases
+(README.md:100-104, SURVEY.md intro). This module adds the missing
+capability TPU-first so users can (re)train TIMED-family models on frame
+datasets:
+
+  * softmax cross-entropy over 20/338 classes with top-1/top-3 accuracy
+    (the reference's monitored metric, predict.py:24-25);
+  * BatchNorm running stats + SpatialDropout handled functionally;
+  * hybrid data/tensor parallelism over a (data, model) mesh: the batch
+    shards across ``data``; conv/dense kernels with output channels
+    divisible by the ``model`` axis shard on their last axis, and XLA/GSPMD
+    inserts the collectives;
+  * `jax.checkpoint` on the conv trunk is unnecessary at 21^3 activations,
+    so the step stays simple — rematerialization hooks can wrap the model
+    apply when frames grow.
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing as t
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import batch_sharding, make_mesh
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: t.Any
+    batch_stats: t.Any
+    opt_state: t.Any
+    step: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "batch_stats", "opt_state", "step"],
+    meta_fields=[],
+)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Tensor-parallel layout: shard the output-channel (last) axis of any
+    kernel whose size divides the ``model`` axis; replicate the rest."""
+    n_model = mesh.shape["model"]
+
+    def rule(path, x):
+        if (
+            n_model > 1
+            and x.ndim >= 2
+            and x.shape[-1] % n_model == 0
+            and path[-1].key == "kernel"
+        ):
+            spec = [None] * (x.ndim - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def make_train_step(module, optimizer):
+    """Build the jittable (state, x, y, rng) -> (state, metrics) step."""
+
+    def loss_fn(params, batch_stats, x, y, rng):
+        out, mutated = module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            logits=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        loss = optax.softmax_cross_entropy(out, y).mean()
+        return loss, (mutated["batch_stats"], out)
+
+    def train_step(state: TrainState, x, y, rng):
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, x, y, rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        labels = y.argmax(-1)
+        top1 = (logits.argmax(-1) == labels).mean()
+        top3 = (
+            (jax.lax.top_k(logits, 3)[1] == labels[:, None]).any(-1).mean()
+        )  # the reference's monitored top_3_cat_acc (predict.py:24-25)
+        metrics = {"loss": loss, "top1": top1, "top3": top3}
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            metrics,
+        )
+
+    return train_step
+
+
+def init_train_state(
+    module,
+    rng: jax.Array,
+    input_shape: tuple[int, ...],
+    optimizer,
+    mesh: Mesh | None = None,
+) -> tuple[TrainState, t.Any]:
+    """Initialize params/batch_stats/optimizer, placed per the mesh layout."""
+    variables = module.init(rng, jnp.zeros(input_shape, jnp.float32))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if mesh is not None:
+        shardings = param_shardings(params, mesh)
+        params = jax.tree.map(jax.device_put, params, shardings)
+        batch_stats = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), batch_stats
+        )
+    opt_state = optimizer.init(params)
+    return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32)), None
+
+
+def fit(
+    module,
+    loader: t.Iterable,
+    n_classes: int,
+    input_channels: int = 5,
+    learning_rate: float = 1e-3,
+    epochs: int = 1,
+    mesh: Mesh | None = None,
+    seed: int = 0,
+    log_every: int = 10,
+) -> TrainState:
+    """Host training loop over a FrameBatchLoader-style iterable of
+    (X, y, n_valid) batches."""
+    mesh = mesh if mesh is not None else make_mesh()
+    optimizer = optax.adam(learning_rate)
+    rng = jax.random.key(seed)
+    state, _ = init_train_state(
+        module, rng, (1, 21, 21, 21, input_channels), optimizer, mesh
+    )
+    step_fn = jax.jit(make_train_step(module, optimizer))
+    bsh = batch_sharding(mesh)
+    step = 0
+    for _ in range(epochs):
+        for X, y, n_valid in loader:
+            rng, sub = jax.random.split(rng)
+            x_dev = jax.device_put(jnp.asarray(X, jnp.float32), bsh)
+            y_dev = jax.device_put(jnp.asarray(y, jnp.float32), bsh)
+            state, metrics = step_fn(state, x_dev, y_dev, sub)
+            if step % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"step {step}: loss={m['loss']:.4f} top1={m['top1']:.3f} top3={m['top3']:.3f}")
+            step += 1
+    return state
+
+
+def save_checkpoint(state: TrainState, path):
+    """Orbax-free minimal checkpointing: flat npz of params + batch_stats.
+
+    (The reference has no model checkpointing at all — SURVEY.md §5; this plus
+    orbax integration in utils gives train/resume capability.)
+    """
+    flat = {}
+    for prefix, tree in (("params", state.params), ("batch_stats", state.batch_stats)):
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for path_keys, leaf in leaves:
+            key = prefix + "/" + "/".join(str(getattr(k, "key", k)) for k in path_keys)
+            flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_checkpoint_params(path) -> dict:
+    """Load a save_checkpoint npz back into nested {params, batch_stats}."""
+    flat = np.load(path)
+    out: dict = {}
+    for key in flat.files:
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+    return out
