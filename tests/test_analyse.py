@@ -1,0 +1,157 @@
+"""Analysis layer: metric parity vs sklearn/scipy, rotamer eval, AF2 eval."""
+import numpy as np
+import pytest
+
+from timed_design_tpu.analyse import (
+    accuracy,
+    analyse_refold,
+    calculate_metrics,
+    calculate_prediction_entropy,
+    calculate_rotamer_metrics,
+    confusion,
+    extract_packdensity_from_structure,
+    partition_fastas,
+    precision_recall_f1,
+    prediction_bias,
+    read_fasta,
+    renormalize_float16_rows,
+    roc_auc_ovo_macro,
+    roc_auc_ovr_macro,
+    tag_structures_with_rotamers,
+    top_k_accuracy,
+    structure_packing_density,
+)
+from timed_design_tpu.structure import load_pdb
+
+
+@pytest.fixture(scope="module")
+def labels_scores():
+    rng = np.random.default_rng(0)
+    n, c = 400, 7
+    y_true = rng.integers(0, c, n)
+    scores = rng.random((n, c))
+    # make scores informative
+    scores[np.arange(n), y_true] += 0.5
+    scores /= scores.sum(1, keepdims=True)
+    return y_true, scores
+
+
+def test_metrics_match_sklearn(labels_scores):
+    sklearn = pytest.importorskip("sklearn.metrics")
+    y_true, scores = labels_scores
+    y_pred = scores.argmax(1)
+    c = scores.shape[1]
+    assert accuracy(y_true, y_pred) == pytest.approx(
+        sklearn.accuracy_score(y_true, y_pred)
+    )
+    for k in (2, 3):
+        assert top_k_accuracy(y_true, scores, k) == pytest.approx(
+            sklearn.top_k_accuracy_score(y_true, scores, k=k, labels=range(c))
+        )
+    prec, rec, _, _ = precision_recall_f1(y_true, y_pred, c)
+    assert prec.mean() == pytest.approx(
+        sklearn.precision_score(y_true, y_pred, average="macro", zero_division=0)
+    )
+    assert rec.mean() == pytest.approx(
+        sklearn.recall_score(y_true, y_pred, average="macro", zero_division=0)
+    )
+    np.testing.assert_allclose(
+        confusion(y_true, y_pred, c, normalize="all"),
+        sklearn.confusion_matrix(y_true, y_pred, normalize="all", labels=range(c)),
+        atol=1e-12,
+    )
+    assert roc_auc_ovo_macro(y_true, scores) == pytest.approx(
+        sklearn.roc_auc_score(y_true, scores, multi_class="ovo",
+                              labels=range(c), average="macro"), abs=1e-9
+    )
+    assert roc_auc_ovr_macro(y_true, scores) == pytest.approx(
+        sklearn.roc_auc_score(y_true, scores, multi_class="ovr",
+                              labels=range(c), average="macro"), abs=1e-9
+    )
+
+
+def test_entropy_matches_scipy():
+    scipy_stats = pytest.importorskip("scipy.stats")
+    rng = np.random.default_rng(1)
+    P = rng.random((50, 20))
+    P /= P.sum(1, keepdims=True)
+    np.testing.assert_allclose(
+        calculate_prediction_entropy(P),
+        scipy_stats.entropy(P, base=2, axis=1),
+        atol=1e-10,
+    )
+
+
+def test_prediction_bias():
+    y_true = np.array([0, 0, 1, 1])
+    y_pred = np.array([0, 0, 0, 1])
+    b = prediction_bias(y_true, y_pred, ["A", "C"])
+    assert b["A"] == pytest.approx(0.25)
+    assert b["C"] == pytest.approx(-0.25)
+
+
+def test_calculate_metrics_end_to_end():
+    m = calculate_metrics(
+        {"1abcA": "MKVA", "2xyz": "GGGG"},
+        {"1abcA": "MKVC", "2xyz": "GGGG"},
+    )
+    assert m["accuracy_1"] == pytest.approx(7 / 8)
+    # top-k on one-hot predictions is tie-inflated (zero-score classes rank
+    # by index) — same artifact as the reference's accuracy_2..5 on one-hots
+    assert m["accuracy_5"] >= m["accuracy_1"]
+    assert "report" in m and m["unweighted_cm"].shape == (20, 20)
+
+
+def test_renormalize_float16_rows():
+    rng = np.random.default_rng(2)
+    P = rng.random((10, 338))
+    P /= P.sum(1, keepdims=True)
+    P16 = P.astype(np.float16).astype(np.float64)
+    fixed = renormalize_float16_rows(P16)
+    np.testing.assert_allclose(fixed.sum(1), 1.0, atol=2e-5)
+
+
+def test_rotamer_metrics_on_1ubq(ubq_pdb_gz, tmp_path):
+    """End-to-end rotamer evaluation: tag 1ubq, score a near-perfect
+    predictor against the crystal rotamers."""
+    tags, assemblies = tag_structures_with_rotamers({"1ubq": ubq_pdb_gz})
+    assert "1ubqA" in tags and len(tags["1ubqA"]) == 76
+    truth = np.array(tags["1ubqA"], float)
+    # synthetic predictions: 90% mass on truth, rest spread
+    P = np.full((76, 338), 0.1 / 337)
+    P[np.arange(76), truth.astype(int)] = 0.9
+    m = calculate_rotamer_metrics(
+        {"1ubqA": P}, tags, suffix="test", output_path=tmp_path
+    )
+    assert m["accuracy"] == 1.0
+    assert m["auc_ovo"] > 0.99
+    assert (tmp_path / "results_test.txt").exists()
+
+
+def test_packing_density_1ubq(ubq_pdb_gz):
+    s = load_pdb(ubq_pdb_gz)
+    dens = structure_packing_density(s)
+    assert dens.shape[0] == s.coords.shape[0]
+    assert dens.min() >= 0 and dens.max() < 200
+    per_res = extract_packdensity_from_structure(s, atom_filter="ca")
+    assert len(per_res) == 76
+    assert all(v > 0 for v in per_res)
+    # buried residues denser than termini
+    assert np.mean(per_res) > per_res[-1] * 0.5
+
+
+def test_refold_analysis_identity(ubq_pdb_gz):
+    r = analyse_refold(ubq_pdb_gz, ubq_pdb_gz, "self")
+    assert r.rmsd == pytest.approx(0.0, abs=1e-6)
+    assert all(v == 1.0 for v in r.gdt.values())
+
+
+def test_fasta_partition(tmp_path):
+    fasta = tmp_path / "all.fasta"
+    fasta.write_text("".join(f">d{i}\nMKV\n" for i in range(7)))
+    folders = partition_fastas(fasta, tmp_path / "jobs", per_folder=3)
+    assert len(folders) == 3
+    assert len(list(folders[0].glob("*.fasta"))) == 3
+    assert len(list(folders[2].glob("*.fasta"))) == 1
+    rec = read_fasta(folders[0] / "d0.fasta")
+    assert rec == {"d0": "MKV"}
