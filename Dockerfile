@@ -1,0 +1,15 @@
+# TPU-serving image for the TIMED-Design UI (role of the reference's CUDA
+# Dockerfile, Dockerfile:1-58 — retargeted at Cloud TPU VMs: no CUDA, the
+# jax[tpu] wheel talks to the TPU driver via libtpu).
+FROM python:3.12-slim
+
+WORKDIR /app
+COPY pyproject.toml README.md ./
+COPY timed_design_tpu ./timed_design_tpu
+
+RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
+    && pip install --no-cache-dir .[ui,analysis]
+
+EXPOSE 8501
+CMD ["streamlit", "run", "timed_design_tpu/ui.py", "--server.port=8501", \
+     "--server.address=0.0.0.0", "--", "--path_to_models", "/models"]

@@ -1,0 +1,112 @@
+"""`analyse_rotamers` CLI — 3-way rotamer evaluation.
+
+Reference flow (analyse_rotamers.py:19-139): evaluate predicted rotamer
+probabilities against (1) wild-type crystal rotamers, (2) SCWRL-repacked
+predicted sequences, (3) SCWRL-repacked wild-type sequences; write SCWRL
+energy scores to scwrl_scores.csv. SCWRL analyses require the external
+SCWRL4 binary and are skipped with a message when it is absent.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Analyse rotamer predictions")
+    p.add_argument("--path_to_pred_matrix", type=str, required=True,
+                   help="Path to {model}_rot.csv (338-class probabilities)")
+    p.add_argument("--path_to_datasetmap", type=str, default="datasetmap.txt")
+    p.add_argument("--path_to_pdb", type=str, required=True,
+                   help="Directory with PDB structures (local; no network fetch)")
+    p.add_argument("--path_to_output", type=str, default=".")
+    p.add_argument("--path_to_scwrl", type=str, default=None)
+    p.add_argument("--support_old_datasetmap", action="store_true")
+    p.add_argument("--plot_confusion", action="store_true")
+    return p
+
+
+def main(argv=None) -> None:
+    from ..analyse import (
+        analyse_with_scwrl,
+        calculate_rotamer_metrics,
+        tag_structures_with_rotamers,
+        ScwrlNotFoundError,
+    )
+    from ..analyse.scwrl import find_scwrl
+    from ..constants import ROTAMER_CATEGORIES
+    from ..io import extract_sequences, load_datasetmap, load_prediction_matrix
+
+    args = build_parser().parse_args(argv)
+    out = Path(args.path_to_output)
+    out.mkdir(parents=True, exist_ok=True)
+    pdb_dir = Path(args.path_to_pdb)
+
+    P = load_prediction_matrix(Path(args.path_to_pred_matrix))
+    dmap = load_datasetmap(Path(args.path_to_datasetmap), is_old=args.support_old_datasetmap)
+    decoded = extract_sequences(dmap, P, rotamer_categories=ROTAMER_CATEGORIES)
+
+    # Locate structures for every chain key
+    pdb_paths = {}
+    for key in decoded.pdb_to_probability:
+        code = key[:4]
+        for cand in (pdb_dir / f"{code}.pdb", pdb_dir / f"{code}.pdb1",
+                     pdb_dir / f"{code}.pdb1.gz", pdb_dir / code[1:3] / f"{code}.pdb1.gz"):
+            if cand.exists():
+                pdb_paths[code] = cand
+                break
+    print(f"Tagging {len(pdb_paths)} structures with crystal rotamers")
+    tags, assemblies = tag_structures_with_rotamers(pdb_paths)
+
+    # Analysis 1: predictions vs wild-type crystal rotamers
+    m1 = calculate_rotamer_metrics(
+        decoded.pdb_to_probability, tags, suffix="wt",
+        output_path=out, plot_confusion=args.plot_confusion,
+    )
+    print(f"[wt] top-1 {m1['accuracy']:.4f}  AUC(ovo) {m1['auc_ovo']:.4f}")
+
+    # Analyses 2+3 need SCWRL4
+    try:
+        find_scwrl(Path(args.path_to_scwrl) if args.path_to_scwrl else None)
+    except ScwrlNotFoundError as e:
+        print(f"Skipping SCWRL analyses: {e}")
+        return
+
+    scores_pred, _ = analyse_with_scwrl(
+        decoded.pdb_to_sequence, assemblies, out, "_pred",
+        Path(args.path_to_scwrl) if args.path_to_scwrl else None,
+    )
+    packed_paths = {
+        pdb[:4]: out / f"{pdb}__pred.pdb" for pdb in scores_pred
+        if (out / f"{pdb}__pred.pdb").exists()
+    }
+    tags_pred, _ = tag_structures_with_rotamers(packed_paths)
+    m2 = calculate_rotamer_metrics(
+        decoded.pdb_to_probability, tags_pred, suffix="scwrl_pred", output_path=out
+    )
+    print(f"[scwrl-pred] top-1 {m2['accuracy']:.4f}")
+
+    scores_real, _ = analyse_with_scwrl(
+        decoded.pdb_to_real_sequence, assemblies, out, "_real",
+        Path(args.path_to_scwrl) if args.path_to_scwrl else None,
+    )
+    packed_real = {
+        pdb[:4]: out / f"{pdb}__real.pdb" for pdb in scores_real
+        if (out / f"{pdb}__real.pdb").exists()
+    }
+    tags_real, _ = tag_structures_with_rotamers(packed_real)
+    m3 = calculate_rotamer_metrics(
+        decoded.pdb_to_probability, tags_real, suffix="scwrl_real", output_path=out
+    )
+    print(f"[scwrl-real] top-1 {m3['accuracy']:.4f}")
+
+    with open(out / "scwrl_scores.csv", "w") as f:
+        f.write("pdb,score_pred,score_real\n")
+        for pdb in sorted(set(scores_pred) | set(scores_real)):
+            f.write(f"{pdb},{scores_pred.get(pdb, np.nan)},{scores_real.get(pdb, np.nan)}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""`predict` CLI — design sequences from a frame dataset.
+
+Flag surface mirrors the reference's predict.py:250-298 so existing
+invocations port directly; adds --voxelize to go straight from PDB files
+(no pre-built aposteriori dataset needed).
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from ..utils.config import PredictConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Predict sequences with the TPU model zoo")
+    p.add_argument("--batch_size", type=int, default=512,
+                   help="Frames per compiled device step (default: 512)")
+    p.add_argument("--path_to_dataset", type=str, required=True,
+                   help="Path to .hdf5 frame dataset, or a PDB file/dir with --voxelize")
+    p.add_argument("--path_to_datasetmap", type=str, default="datasetmap.txt")
+    p.add_argument("--path_to_model", type=str, nargs="+", required=True,
+                   help="Model .h5 path(s) or registry name(s): TIMED, ProDCoNN, ...")
+    p.add_argument("--path_to_blacklist", type=str, default=None)
+    p.add_argument("--path_to_output", type=str, default=".")
+    p.add_argument("--predict_rotamers", action="store_true",
+                   help="338-rotamer head instead of 20 residues")
+    p.add_argument("--is_structure_nmr", action="store_true",
+                   help="Build a consensus over NMR states")
+    p.add_argument("--start_batch", type=int, default=0,
+                   help="Resume from this batch index")
+    p.add_argument("--voxelize", action="store_true",
+                   help="Input is PDB file(s): voxelize on device first")
+    p.add_argument("--codec", type=str, default="CNOCACB")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    out = Path(args.path_to_output)
+    out.mkdir(parents=True, exist_ok=True)
+
+    dataset_path = Path(args.path_to_dataset)
+    if args.voxelize:
+        from ..voxel import make_frame_dataset
+
+        pdbs = (
+            sorted(dataset_path.glob("**/*.pdb*"))
+            if dataset_path.is_dir()
+            else [dataset_path]
+        )
+        dataset_path = out / "dataset.hdf5"
+        print(f"Voxelizing {len(pdbs)} structure(s) -> {dataset_path}")
+        make_frame_dataset(pdbs, dataset_path, codec=args.codec)
+
+    cfg = PredictConfig(
+        path_to_dataset=dataset_path,
+        path_to_model=args.path_to_model,
+        path_to_datasetmap=Path(args.path_to_datasetmap),
+        path_to_output=out,
+        path_to_blacklist=Path(args.path_to_blacklist) if args.path_to_blacklist else None,
+        batch_size=args.batch_size,
+        start_batch=args.start_batch,
+        predict_rotamers=args.predict_rotamers,
+        is_structure_nmr=args.is_structure_nmr,
+    ).validate()
+
+    from ..engine import load_dataset_and_predict
+
+    result = load_dataset_and_predict(
+        cfg.path_to_model,
+        cfg.path_to_dataset,
+        batch_size=cfg.batch_size,
+        start_batch=cfg.start_batch,
+        dataset_map_path=cfg.path_to_datasetmap,
+        blacklist=cfg.path_to_blacklist,
+        predict_rotamers=cfg.predict_rotamers,
+        is_consensus=cfg.is_structure_nmr,
+        path_to_output=cfg.path_to_output,
+    )
+    print(f"Predicted {sum(len(s) for s in result.pdb_to_sequence.values())} residues "
+          f"across {len(result.pdb_to_sequence)} chains.")
+    for phase, secs in result.timings.items():
+        print(f"  {phase}: {secs:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""`train` CLI — train a zoo model on a frame dataset (capability the
+reference lacks: it ships fixed .h5 releases, README.md:100-104)."""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a model on an HDF5 frame dataset")
+    p.add_argument("--path_to_dataset", type=str, required=True)
+    p.add_argument("--model", type=str, default="TIMED",
+                   help="Registry name: TIMED, TIMED_Deep, ProDCoNN, DenseNet, ...")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", type=str, default="checkpoint.npz")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from ..io import FrameBatchLoader, FrameDatasetMetadata, create_flat_dataset_map
+    from ..models import get_model_spec
+    from ..train import fit, save_checkpoint
+
+    dataset = Path(args.path_to_dataset)
+    spec = get_model_spec(args.model)
+    meta = FrameDatasetMetadata.from_file(dataset)
+    dmap, _ = create_flat_dataset_map(dataset)
+    loader = FrameBatchLoader(dataset, dmap, batch_size=args.batch_size)
+    module = spec.build()
+    state = fit(
+        module,
+        loader,
+        n_classes=spec.n_classes,
+        input_channels=meta.frame_dims[-1],
+        learning_rate=args.learning_rate,
+        epochs=args.epochs,
+        seed=args.seed,
+    )
+    save_checkpoint(state, args.output)
+    print(f"Saved checkpoint to {args.output} after {int(state.step)} steps")
+
+
+if __name__ == "__main__":
+    main()
