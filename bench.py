@@ -46,18 +46,26 @@ def main() -> None:
         probs = model.apply(v, x + i.astype(jnp.bfloat16) * 1e-6)
         return probs.sum() + i.astype(jnp.float32)
 
-    jax.block_until_ready(step(variables, x, jnp.int32(0)))  # compile
-    # warmup batch of unique steps
-    jax.block_until_ready(
-        [step(variables, x, jnp.int32(10_000 + i)) for i in range(5)]
-    )
-    iters = 30
-    t0 = time.perf_counter()
-    outs = [step(variables, x, jnp.int32(i + 1)) for i in range(iters)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    float(step(variables, x, jnp.int32(0)))  # compile + true sync
 
-    frames_per_sec = iters * batch / dt
+    def timed_round(n: int, base: int) -> float:
+        """Run n unique steps and return wall time INCLUDING a value fetch of
+        the last output — on remote PJRT transports only a value fetch is a
+        reliable completion barrier (block_until_ready can report eagerly)."""
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = step(variables, x, jnp.int32(base + i + 1))
+        float(out)
+        return time.perf_counter() - t0
+
+    timed_round(5, 50_000)  # warmup
+    # Marginal throughput: (dt_large - dt_small) removes the constant fetch
+    # RTT, leaving pure per-step device time.
+    n_small, n_large = 20, 80
+    dt_small = timed_round(n_small, 10_000)
+    dt_large = timed_round(n_large, 20_000)
+    frames_per_sec = (n_large - n_small) * batch / max(dt_large - dt_small, 1e-6)
     print(
         json.dumps(
             {

@@ -146,6 +146,64 @@ def _element_from_record(line: str, atom_name: str) -> str:
     return "C"
 
 
+def _scan_python(text: str) -> dict[str, np.ndarray]:
+    """Pure-Python scanner producing the same field arrays as the native
+    C++ scanner (native/pdbscan.cpp) — reference implementation/fallback."""
+    coords, bfs, res_seq, model_idx = [], [], [], []
+    atom_name, res_name, element, chain_id, icode, altloc, is_het = (
+        [], [], [], [], [], [], []
+    )
+    model = 0
+    model_has_atoms = False
+    for line in text.splitlines():
+        rec = line[:6]
+        if rec == "MODEL ":
+            if model_has_atoms:
+                model += 1
+                model_has_atoms = False
+            continue
+        if rec == "ENDMDL":
+            model += 1
+            model_has_atoms = False
+            continue
+        if rec not in ("ATOM  ", "HETATM") or len(line) < 54:
+            continue
+        try:
+            seq = int(line[22:26])
+            xyz = (float(line[30:38]), float(line[38:46]), float(line[46:54]))
+        except ValueError:
+            continue
+        try:
+            bf = float(line[60:66])
+        except (ValueError, IndexError):
+            bf = 0.0
+        coords.append(xyz)
+        bfs.append(bf)
+        res_seq.append(seq)
+        model_idx.append(model)
+        atom_name.append(line[12:16].strip())
+        res_name.append(line[17:20].strip())
+        element.append(line[76:78].strip() if len(line) >= 78 else "")
+        chain_id.append(line[21])
+        icode.append(line[26].strip())
+        altloc.append(line[16])
+        is_het.append(rec == "HETATM")
+        model_has_atoms = True
+    return {
+        "coords": np.asarray(coords, np.float32).reshape(-1, 3),
+        "bfactors": np.asarray(bfs, np.float32),
+        "res_seq": np.asarray(res_seq, np.int32),
+        "model_idx": np.asarray(model_idx, np.int32),
+        "atom_name": np.asarray(atom_name, dtype="U4"),
+        "res_name": np.asarray(res_name, dtype="U3"),
+        "element": np.asarray(element, dtype="U2"),
+        "chain_id": np.asarray(chain_id, dtype="U1"),
+        "icode": np.asarray(icode, dtype="U1"),
+        "altloc": np.asarray(altloc, dtype="U1"),
+        "is_het": np.asarray(is_het, bool),
+    }
+
+
 def parse_pdb_string(
     text: str,
     name: str = "",
@@ -155,104 +213,120 @@ def parse_pdb_string(
 ) -> list[Structure]:
     """Parse PDB text into one Structure per MODEL.
 
-    Parameters mirror the behaviors the reference relies on:
+    Field extraction runs through the native C++ scanner when available
+    (native/pdbscan.cpp via structure/_native.py), else the Python fallback;
+    both produce identical arrays. Behaviors the reference relies on:
       * first-state selection (utils.py:54-57) unless ``all_states`` — the
-        multi-state NMR flow (`voxelise_all_states`, README.md:84) needs all.
+        multi-state NMR flow (`voxelise_all_states`, README.md:84) needs all;
       * uncommon residues remapped to standard ones with their backbone kept
         (utils.py:381-385).
     """
-    models: list[list[str]] = [[]]
-    for line in text.splitlines():
-        rec = line[:6]
-        if rec == "MODEL ":
-            if models[-1]:
-                models.append([])
-        elif rec == "ENDMDL":
-            models.append([])
-        elif rec in ("ATOM  ", "HETATM"):
-            models[-1].append(line)
-    models = [m for m in models if m]
-    if not models:
-        raise ValueError(f"No ATOM records found in PDB {name!r}")
-    if not all_states:
-        models = models[:1]
+    from ._native import scan_pdb_native
 
+    fields = scan_pdb_native(text)
+    if fields is None:
+        fields = _scan_python(text)
+    if fields["coords"].shape[0] == 0:
+        raise ValueError(f"No ATOM records found in PDB {name!r}")
+
+    model_ids = np.unique(fields["model_idx"])
+    if not all_states:
+        model_ids = model_ids[:1]
     structures = []
-    for state_i, lines in enumerate(models):
+    multi = all_states and len(model_ids) > 1
+    for state_i, mid in enumerate(model_ids):
+        sel = fields["model_idx"] == mid
         structures.append(
-            _build_structure(lines, f"{name}_{state_i}" if all_states and len(models) > 1 else name,
-                             remap_uncommon, keep_hetatms)
+            _build_structure_from_fields(
+                {k: v[sel] for k, v in fields.items()},
+                f"{name}_{state_i}" if multi else name,
+                remap_uncommon,
+                keep_hetatms,
+            )
         )
     return structures
 
 
-def _build_structure(
-    lines: list[str], name: str, remap_uncommon: bool, keep_hetatms: bool
+def _build_structure_from_fields(
+    f: dict[str, np.ndarray], name: str, remap_uncommon: bool, keep_hetatms: bool
 ) -> Structure:
+    n = f["coords"].shape[0]
+    # altloc filter (keep blank/'A'), vectorized
+    keep = (f["altloc"] == " ") | (f["altloc"] == "A") | (f["altloc"] == "")
+    # element inference where the PDB column is absent: first alphabetic char
+    # of the atom name
+    element = f["element"].copy()
+    missing = element == ""
+    if missing.any():
+        inferred = np.array(
+            [next((c.upper() for c in an if c.isalpha()), "C") for an in f["atom_name"][missing]],
+            dtype="U2",
+        )
+        element[missing] = inferred
+    element = np.array(
+        [e.capitalize() if len(e) > 1 else e.upper() for e in element], dtype="U2"
+    )
+
+    # residue identity remap + standard-ness, vectorized over unique names
+    uniq_names = {}
+    for rn in np.unique(f["res_name"]):
+        mapped = rn
+        if remap_uncommon and rn not in AA3_TO_INT and rn in UNCOMMON_RESIDUE_DICT:
+            mapped = UNCOMMON_RESIDUE_DICT[rn]
+        uniq_names[rn] = (mapped, mapped in AA3_TO_INT)
+    mapped_names = np.array([uniq_names[rn][0] for rn in f["res_name"]], dtype="U3")
+    is_std = np.array([uniq_names[rn][1] for rn in f["res_name"]], bool)
+    if not keep_hetatms:
+        keep &= ~(f["is_het"] & ~is_std)  # drop waters/ligands
+
+    idx = np.nonzero(keep)[0]
     chains: dict[str, Chain] = {}
     res_key_to_obj: dict[tuple, Residue] = {}
-    flat_coords, flat_el, flat_an, flat_ri, flat_bf = [], [], [], [], []
+    flat_idx: list[int] = []
+    flat_ri: list[int] = []
     std_res_counter = -1
-
-    for line in lines:
-        is_het = line.startswith("HETATM")
-        altloc = line[16]
-        if altloc not in (" ", "A"):
-            continue
-        atom_name = line[12:16].strip()
-        res_name = line[17:20].strip()
-        chain_id = line[21]
-        try:
-            res_seq = int(line[22:26])
-        except ValueError:
-            continue
-        icode = line[26].strip()
-        x, y, z = float(line[30:38]), float(line[38:46]), float(line[46:54])
-        try:
-            bf = float(line[60:66])
-        except (ValueError, IndexError):
-            bf = 0.0
-        el = _element_from_record(line, line[12:16])
-
-        mapped = res_name
-        if remap_uncommon and res_name not in AA3_TO_INT and res_name in UNCOMMON_RESIDUE_DICT:
-            mapped = UNCOMMON_RESIDUE_DICT[res_name]
-        is_std = mapped in AA3_TO_INT
-        if is_het and not is_std and not keep_hetatms:
-            continue  # waters / ligands dropped (aposteriori behavior)
-
-        key = (chain_id, res_seq, icode)
-        if key not in res_key_to_obj:
-            if chain_id not in chains:
-                chains[chain_id] = Chain(chain_id, [])
-            res = Residue(chain_id, res_seq, icode, mapped, [], np.zeros((0, 3), np.float32),
-                          [], np.zeros((0,), np.float32), is_std)
+    for i in idx:
+        chain_c = f["chain_id"][i]
+        key = (chain_c, int(f["res_seq"][i]), f["icode"][i])
+        res = res_key_to_obj.get(key)
+        if res is None:
+            if chain_c not in chains:
+                chains[chain_c] = Chain(chain_c, [])
+            res = Residue(
+                chain_c, int(f["res_seq"][i]), f["icode"][i].strip(),
+                mapped_names[i], [], None, [], None, bool(is_std[i]),
+            )
+            res._atom_idx = []  # type: ignore[attr-defined]
             res_key_to_obj[key] = res
-            chains[chain_id].residues.append(res)
-            if is_std:
+            chains[chain_c].residues.append(res)
+            if res.is_standard_aa:
                 std_res_counter += 1
-        res = res_key_to_obj[key]
-        if atom_name in res.atom_names:
+        an = f["atom_name"][i]
+        if an in res.atom_names:
             continue  # duplicate atom (altloc remnants)
-        res.atom_names.append(atom_name)
-        res.coords = np.vstack([res.coords, [[x, y, z]]]).astype(np.float32)
-        res.elements.append(el)
-        res.bfactors = np.append(res.bfactors, np.float32(bf))
+        res.atom_names.append(an)
+        res.elements.append(element[i])
+        res._atom_idx.append(int(i))  # type: ignore[attr-defined]
         if res.is_standard_aa:
-            flat_coords.append((x, y, z))
-            flat_el.append(el)
-            flat_an.append(atom_name)
+            flat_idx.append(int(i))
             flat_ri.append(std_res_counter)
-            flat_bf.append(bf)
 
+    # materialize per-residue arrays as views into the scan output
+    for res in res_key_to_obj.values():
+        ai = np.asarray(res._atom_idx, int)  # type: ignore[attr-defined]
+        res.coords = f["coords"][ai]
+        res.bfactors = f["bfactors"][ai]
+        del res._atom_idx  # type: ignore[attr-defined]
+
+    fi = np.asarray(flat_idx, int)
     return Structure(
         name=name,
         chains=list(chains.values()),
-        coords=np.array(flat_coords, np.float32).reshape(-1, 3),
-        elements=np.array(flat_el, dtype="<U2"),
-        atom_names=np.array(flat_an, dtype="<U4"),
-        res_index=np.array(flat_ri, np.int32),
-        bfactors=np.array(flat_bf, np.float32),
+        coords=f["coords"][fi].reshape(-1, 3),
+        elements=element[fi],
+        atom_names=f["atom_name"][fi],
+        res_index=np.asarray(flat_ri, np.int32),
+        bfactors=f["bfactors"][fi],
     )
 
 

@@ -140,7 +140,7 @@ def structure_to_frame_atoms(
         ca=ca,
         rot=M,
         valid=valid,
-        labels=[r.res_name for r in std],
-        chain_ids=[r.chain_id for r in std],
-        residue_ids=[r.id for r in std],
+        labels=[str(r.res_name) for r in std],
+        chain_ids=[str(r.chain_id) for r in std],
+        residue_ids=[str(r.id) for r in std],
     )
