@@ -156,3 +156,26 @@ def test_make_frame_dataset_roundtrip(tmp_path, ubq_pdb_gz):
         assert d.shape == (21, 21, 21, 5)
         assert d.attrs["label"] == "MET"
         assert np.asarray(d.attrs["encoded_residue"]).sum() == 1
+
+
+def test_matmul_voxelizer_matches_scatter(ubq_pdb_gz):
+    """The MXU GEMM formulation is numerically identical to the scatter
+    kernel (both gaussian and boolean modes, including property channels)."""
+    from timed_design_tpu.structure import load_pdb
+    from timed_design_tpu.voxel import Codec, structure_to_frame_atoms, voxelize_frame_atoms
+
+    s = load_pdb(ubq_pdb_gz)
+    for codec_s in ("CNOCBCA", "CNOCACBQ"):
+        codec = Codec.from_string(codec_s)
+        fa = structure_to_frame_atoms(s, codec)
+        for gaussian in (True, False):
+            f_scatter = np.asarray(
+                voxelize_frame_atoms(fa, codec, gaussian=gaussian, impl="scatter")
+            )
+            f_matmul = np.asarray(
+                voxelize_frame_atoms(fa, codec, gaussian=gaussian, impl="matmul")
+            )
+            np.testing.assert_allclose(
+                f_matmul, f_scatter, atol=2e-5,
+                err_msg=f"codec={codec_s} gaussian={gaussian}",
+            )

@@ -1,0 +1,132 @@
+"""MXU-native voxelization: separable Gaussian weights -> batched matmuls.
+
+The scatter voxelizer (voxel/voxelize.py) lowers to a sorted segment-sum on
+TPU — correct, but scatter is not what the hardware is best at. This module
+reformulates the same computation as dense contractions that run on the MXU:
+
+The per-atom density is a product of per-axis Gaussian integrals, so for a
+residue with atoms a and frame coords g_a:
+
+    frame[x, y, z, c] = sum_a Wx[x, a] * Wy[y, a] * Wz[z, a] * E[a, c]
+
+with Wd[v, a] = integral of N(g_a_d, sigma_a) over voxel v along axis d
+(masked to the same 3-voxel window and normalized identically to the scatter
+kernel — window sums are per-axis, so the 27-voxel normalization separates
+exactly). The contraction factorizes into two steps:
+
+    T[xy, a]  = Wx[x, a] * Wy[y, a]          (outer product, VPU)
+    frame     = T @ (Wz ⊗ E)[a, z*c]          (one (V^2, A) x (A, V*C) GEMM)
+
+Per residue that is a (441, A) x (A, 21*C) matmul — batched over residues it
+keeps the MXU busy with zero gather/scatter traffic. Boolean mode uses
+one-hot per-axis weights and saturates at 1 afterwards.
+
+Numerically identical to the scatter path (tests assert parity to 1e-5).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import erf
+
+_SQRT2 = 1.4142135623730951
+
+
+def _axis_weights(g_d, sigma, V: int, voxel_size: float, gaussian: bool):
+    """Per-axis voxel weights.
+
+    g_d: (..., A) continuous voxel coords along one axis. Returns
+    (..., A, V) weights masked to the 3-voxel window around round(g_d),
+    divided by the (unclipped) window sum — matching the scatter kernel's
+    normalize-then-drop-out-of-bounds semantics.
+    """
+    v = jnp.arange(V, dtype=g_d.dtype)  # (V,)
+    n0 = jnp.round(g_d)[..., None]  # (..., A, 1)
+    dist = v - g_d[..., None]  # (..., A, V)
+    if gaussian:
+        lo = (v - 0.5 - g_d[..., None]) * voxel_size
+        hi = lo + voxel_size
+        s = sigma[..., None] * _SQRT2
+        w = 0.5 * (erf(hi / s) - erf(lo / s))
+        in_window = jnp.abs(v - n0) <= 1.0
+        # window sum including out-of-frame window positions: integral over
+        # [n0-1.5, n0+1.5] voxels
+        wlo = (n0 - 1.5 - g_d[..., None]) * voxel_size
+        whi = (n0 + 1.5 - g_d[..., None]) * voxel_size
+        wsum = 0.5 * (erf(whi / s) - erf(wlo / s))
+        w = jnp.where(in_window, w, 0.0) / jnp.maximum(wsum, 1e-12)
+    else:
+        w = (jnp.abs(dist) <= 0.5).astype(g_d.dtype)
+        # round() boundary: nearest voxel only
+        w = (n0 == v).astype(g_d.dtype)
+    return w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_channels", "prop_channel", "voxels_per_side", "voxel_size",
+        "gaussian", "chunk",
+    ),
+)
+def voxelize_matmul(
+    atoms_xyz: jax.Array,  # (A, 3)
+    atom_channel: jax.Array,  # (A,) int32, -1 = dropped
+    atom_sigma: jax.Array,  # (A,)
+    atom_prop: jax.Array,  # (A,)
+    ca: jax.Array,  # (R, 3)
+    rot: jax.Array,  # (R, 3, 3)
+    *,
+    n_channels: int,
+    prop_channel: int = -1,
+    voxels_per_side: int = 21,
+    voxel_size: float = 1.0,
+    gaussian: bool = True,
+    chunk: int = 16,
+) -> jax.Array:
+    """Voxelize all residues as batched GEMMs. Returns (R, V, V, V, C)."""
+    V = voxels_per_side
+    C = n_channels
+    R = ca.shape[0]
+    A = atoms_xyz.shape[0]
+    center = (V - 1) / 2.0
+
+    # channel mixing matrix E: (A, C); dropped atoms contribute nothing
+    E = jax.nn.one_hot(atom_channel, C, dtype=jnp.float32)
+    if prop_channel >= 0:
+        E = E.at[:, prop_channel].add(
+            jnp.where(atom_channel >= 0, atom_prop, 0.0)
+        )
+
+    n_chunks = -(-R // chunk)
+    pad_r = n_chunks * chunk - R
+    ca_p = jnp.pad(ca, ((0, pad_r), (0, 0)))
+    rot_p = jnp.pad(rot, ((0, pad_r), (0, 0), (0, 0)))
+
+    def do_chunk(args):
+        ca_c, rot_c = args  # (chunk, 3), (chunk, 3, 3)
+        rel = atoms_xyz[None, :, :] - ca_c[:, None, :]
+        g = jnp.einsum("rij,raj->rai", rot_c, rel) / voxel_size + center
+        wx = _axis_weights(g[..., 0], atom_sigma, V, voxel_size, gaussian)
+        wy = _axis_weights(g[..., 1], atom_sigma, V, voxel_size, gaussian)
+        wz = _axis_weights(g[..., 2], atom_sigma, V, voxel_size, gaussian)
+        # T[r, x, y, a] then one GEMM per residue: (V*V, A) x (A, V*C)
+        T = wx[:, :, :, None] * wy[:, :, None, :]  # (chunk, A, V, V) -> note order
+        T = T.transpose(0, 2, 3, 1).reshape(chunk, V * V, A)
+        U = (wz[:, :, :, None] * E[None, :, None, :]).reshape(chunk, A, V * C)
+        F = jnp.einsum(
+            "rka,rac->rkc", T, U, preferred_element_type=jnp.float32
+        )
+        return F.reshape(chunk, V, V, V, C)
+
+    frames = jax.lax.map(
+        do_chunk,
+        (ca_p.reshape(n_chunks, chunk, 3), rot_p.reshape(n_chunks, chunk, 3, 3)),
+    )
+    frames = frames.reshape(n_chunks * chunk, V, V, V, C)[:R]
+    if not gaussian:
+        frames = jnp.minimum(frames, 1.0)
+    return frames

@@ -101,10 +101,13 @@ def voxelize(
 
         # flat index into (chunk, V, V, V, C)
         r_idx = jnp.arange(chunk, dtype=jnp.int32)[:, None, None]
+        size = chunk * V * V * V * C
         flat = (((r_idx * V + vi[..., 0]) * V + vi[..., 1]) * V + vi[..., 2]) * C + ch
-        flat = jnp.where(valid, flat, -1)
+        # drop sentinel must be positive out-of-bounds: jnp .at[] wraps
+        # negative indices numpy-style, so -1 would alias the LAST element
+        flat = jnp.where(valid, flat, size)
 
-        out = jnp.zeros((chunk * V * V * V * C,), jnp.float32)
+        out = jnp.zeros((size,), jnp.float32)
         out = out.at[flat.reshape(-1)].add(
             w.reshape(-1), mode="drop", indices_are_sorted=False, unique_indices=False
         )
@@ -112,7 +115,7 @@ def voxelize(
             flat_p = (
                 ((r_idx * V + vi[..., 0]) * V + vi[..., 1]) * V + vi[..., 2]
             ) * C + prop_channel
-            flat_p = jnp.where(valid, flat_p, -1)
+            flat_p = jnp.where(valid, flat_p, size)
             wp = w * atom_prop[None, :, None]
             out = out.at[flat_p.reshape(-1)].add(wp.reshape(-1), mode="drop")
         return out.reshape(chunk, V, V, V, C)
@@ -133,13 +136,25 @@ def voxelize_frame_atoms(
     voxels_per_side: int = 21,
     frame_edge_length: float = 21.0,
     gaussian: bool = True,
-    chunk: int = 32,
+    chunk: int = 16,
+    impl: str = "matmul",
 ) -> jax.Array:
-    """Host wrapper: FrameAtoms + Codec -> (R, V, V, V, C) device frames."""
+    """Host wrapper: FrameAtoms + Codec -> (R, V, V, V, C) device frames.
+
+    ``impl``: 'matmul' (default — MXU-native separable-GEMM formulation,
+    ops/matmul_voxelize.py) or 'scatter' (the segment-sum formulation here).
+    Both are numerically equivalent; tests assert parity.
+    """
     prop = codec.property_channel
     prop_idx = codec.channels.index(prop) if prop else -1
     voxel_size = frame_edge_length / voxels_per_side
-    return voxelize(
+    if impl == "matmul":
+        from ..ops.matmul_voxelize import voxelize_matmul as fn
+    elif impl == "scatter":
+        fn = voxelize
+    else:
+        raise ValueError(f"Unknown voxelizer impl {impl!r}")
+    return fn(
         jnp.asarray(fa.atoms_xyz),
         jnp.asarray(fa.atom_channel),
         jnp.asarray(fa.atom_sigma),
