@@ -48,3 +48,16 @@ from .plots import (  # noqa: F401
     plot_mean_var_probs,
     plot_sequence_heatmap,
 )
+from .netsolp import (  # noqa: F401
+    NetSolPNotFoundError,
+    annotate_samples_with_netsolp,
+    run_netsolp,
+)
+from .sweeps import (  # noqa: F401
+    DEFAULT_TEMPERATURES,
+    SweepPoint,
+    plot_metric_vs_temperature,
+    plot_models_comparison,
+    run_model_benchmark,
+    run_temperature_sweep,
+)
