@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--voxelize", action="store_true",
                    help="Input is PDB file(s): voxelize on device first")
     p.add_argument("--codec", type=str, default="CNOCACB")
+    p.add_argument("--output_analysis", action="store_true",
+                   help="Emit probability heatmaps, mean/var plots and "
+                        "sequence logos per structure")
     return p
 
 
@@ -82,6 +85,24 @@ def main(argv=None) -> None:
           f"across {len(result.pdb_to_sequence)} chains.")
     for phase, secs in result.timings.items():
         print(f"  {phase}: {secs:.2f}s")
+
+    if args.output_analysis:
+        # Per-structure graphs (reference predict.py:283-286 --output_analysis)
+        from ..analyse import (
+            create_sequence_logo,
+            plot_mean_var_probs,
+            plot_sequence_heatmap,
+        )
+
+        for pdb, probs in result.pdb_to_probability.items():
+            import numpy as np
+
+            probs = np.asarray(probs)
+            plot_sequence_heatmap(probs, f"{pdb} probabilities", out)
+            plot_mean_var_probs(probs, f"{pdb}", out)
+            fig = create_sequence_logo(probs)
+            fig.savefig(out / f"{pdb}_logo.png")
+        print(f"Analysis graphs written to {out}")
 
 
 if __name__ == "__main__":

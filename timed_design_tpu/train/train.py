@@ -180,3 +180,29 @@ def load_checkpoint_params(path) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = flat[key]
     return out
+
+
+def save_checkpoint_orbax(state: TrainState, path) -> bool:
+    """Orbax checkpoint (full TrainState incl. optimizer) when orbax is
+    installed; returns False otherwise (npz fallback covers params)."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return False
+    from pathlib import Path
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            Path(path).absolute(),
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "step": state.step},
+        )
+    return True
+
+
+def load_checkpoint_orbax(path):
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(path).absolute())
