@@ -50,11 +50,32 @@ def sample_class_indices(
     residue) — identical semantics to the reference's
     ``(cumsum(p) > u).argmax()`` (sampling_utils.py:81-82), including its
     behavior on unnormalized rows (u beyond the total mass selects class 0).
+
+    This is the XLA formulation; on real TPUs `sample_class_indices_auto`
+    dispatches to the fused Pallas kernel (ops/pallas_sample.py), which keeps
+    the (S, L, C) uniform/compare intermediates in VMEM.
     """
     L, C = probs.shape
     u = jax.random.uniform(key, (n_samples, L, 1))
     cdf = jnp.cumsum(probs, axis=-1)[None, :, :]
     return jnp.argmax(cdf > u, axis=-1)
+
+
+def sample_class_indices_auto(
+    key: jax.Array, probs: jax.Array, n_samples: int
+) -> jax.Array:
+    """Backend dispatch: Pallas kernel on TPU, XLA elsewhere.
+
+    The two backends draw from the same distribution but different PRNG
+    streams (threefry vs the TPU core PRNG), so sequences differ for the
+    same key; both are deterministic in (key, shape).
+    """
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_sample import pallas_sample_class_indices
+
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        return pallas_sample_class_indices(seed, probs, n_samples)
+    return sample_class_indices(key, probs, n_samples)
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "rotamer_mode"))
@@ -85,15 +106,26 @@ def sample_structure(
     key: jax.Array,
     rotamer_mode: bool = False,
     temperature: float = 1.0,
+    backend: str = "auto",
 ) -> list[tuple]:
     """Sample one structure -> reference-shaped result list
-    [(seq, charge, pI, MW, ext), ...] (sampling_utils.py:93-136)."""
+    [(seq, charge, pI, MW, ext), ...] (sampling_utils.py:93-136).
+
+    ``backend='auto'`` uses the fused Pallas PRNG kernel on TPU.
+    """
     p = jnp.asarray(probs, jnp.float32)
     if temperature != 1.0:
         p = apply_temperature(p, temperature)
-    codes, metrics = sample_sequences_with_metrics(
-        key, p, n_samples, rotamer_mode=rotamer_mode
-    )
+    if backend == "auto" and jax.default_backend() == "tpu":
+        idx = sample_class_indices_auto(key, p, n_samples)
+        codes = jnp.asarray(ROTAMER_TO_AA)[idx] if rotamer_mode else idx
+        from .metrics import batched_metrics_from_counts, counts_from_codes
+
+        metrics = batched_metrics_from_counts(counts_from_codes(codes))
+    else:
+        codes, metrics = sample_sequences_with_metrics(
+            key, p, n_samples, rotamer_mode=rotamer_mode
+        )
     codes = np.asarray(codes)
     out = []
     aa = np.array(list(AA1))
