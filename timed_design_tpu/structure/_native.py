@@ -7,7 +7,6 @@ scanner keeps working.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

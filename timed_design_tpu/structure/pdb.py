@@ -9,12 +9,12 @@ vectorized gathers instead of Python loops over residue objects.
 
 Supports: ATOM/HETATM records, multiple MODELs (NMR states), chains, altloc
 filtering (keep '' or 'A'), insertion codes, gzipped files, uncommon-residue
-remapping (constants.UNCOMMon_RESIDUE_DICT role), and PDB writing for the
+remapping (constants.UNCOMMON_RESIDUE_DICT role), and PDB writing for the
 property-design flow (utils.py:60-110 modifies residue identities in place).
 
-If the compiled C++ fast parser (native/pdbparse.cpp) is importable it is used
-automatically for the hot line-scanning loop; the pure-Python path is the
-reference implementation and the fallback.
+The compiled C++ scanner (native/pdbscan.cpp) is used automatically for the
+hot line-scanning loop when a toolchain is available; the pure-Python path is
+the reference implementation and the fallback.
 """
 from __future__ import annotations
 
@@ -25,7 +25,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..constants import AA3_TO_INT, AA3, UNCOMMON_RESIDUE_DICT
+from ..constants import AA3_TO_INT, UNCOMMON_RESIDUE_DICT
 
 BACKBONE_ATOMS = ("N", "CA", "C", "O", "CB")
 

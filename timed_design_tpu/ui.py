@@ -61,7 +61,7 @@ def main(argv=None):  # noqa: C901 - UI flow
 
     from .constants import sequence_similarity
     from .engine import predict_structure
-    from .models import MODEL_REGISTRY, get_model_spec
+    from .models import get_model_spec
     from .sample.metrics import sequence_metrics
     from .sample.sampler import apply_temperature, sample_structure
     from .structure import (
@@ -71,7 +71,7 @@ def main(argv=None):  # noqa: C901 - UI flow
         modify_structure_with_property,
         parse_pdb_string,
     )
-    from .analyse import calculate_metrics, create_sequence_logo, plot_cm
+    from .analyse import calculate_metrics, create_sequence_logo
     from .analyse.structure_analysis import calculate_prediction_entropy
 
     st.set_page_config(page_title="TIMED-Design (TPU)", layout="wide")
