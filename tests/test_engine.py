@@ -102,3 +102,18 @@ def test_resume_start_batch(ubq_h5):
     resumed = list(FrameBatchLoader(ubq_h5, dmap, batch_size=32, start_batch=2))
     assert len(full) == 3 and len(resumed) == 1
     np.testing.assert_array_equal(full[2][0], resumed[0][0])
+
+
+def test_design_session(ubq_pdb_gz):
+    """Persistent session: repeated designs reuse the compiled executable."""
+    from timed_design_tpu.engine import DesignSession
+
+    sess = DesignSession("TIMED_rotamer_not_so_deep", batch_size=128)
+    assert sess.n_classes == 338
+    probs, fa = sess.design(ubq_pdb_gz)
+    assert probs.shape == (76, 338)
+    seq = sess.design_sequence(ubq_pdb_gz)
+    assert len(seq) == 76
+    # second call, same compiled path
+    probs2, _ = sess.design(ubq_pdb_gz)
+    np.testing.assert_allclose(probs, probs2, atol=1e-6)
