@@ -179,3 +179,19 @@ def test_matmul_voxelizer_matches_scatter(ubq_pdb_gz):
                 f_matmul, f_scatter, atol=2e-5,
                 err_msg=f"codec={codec_s} gaussian={gaussian}",
             )
+
+
+def test_golden_frames_regression(ubq_pdb_gz, testing_files):
+    """Frozen golden frames lock the voxelizer convention (frame basis,
+    gaussian spreading, normalization). Any change to the empirically
+    recovered convention (see test_frame_convention_matches_reference_cb_offset)
+    or the kernel math shows up here first."""
+    golden = np.load(testing_files / "golden_1ubq_frames.npz")
+    frames, _ = voxelize_structure(
+        load_pdb(ubq_pdb_gz), Codec.from_string("CNOCBCA")
+    )
+    np.testing.assert_allclose(frames[0], golden["frame0"], atol=1e-4)
+    np.testing.assert_allclose(frames[40], golden["frame40"], atol=1e-4)
+    np.testing.assert_allclose(
+        frames.sum(axis=(1, 2, 3, 4)), golden["total"], rtol=1e-4
+    )
