@@ -11,9 +11,8 @@ optimisation tab that ranks samples by summed normalized MAE over the four
 sequence metrics (reference ui.py:641-660).
 
 Differences by design: no intermediate HDF5 — frames voxelize straight to
-device memory (engine.predict_structure); caching keys on (file hash, model,
-property map) via st.cache_data; the 3D view uses py3Dmol when present and
-degrades to a matplotlib backbone trace otherwise.
+device memory (engine.predict_structure), and repeated designs reuse the
+compiled executable via engine.DesignSession.
 
 Run:  streamlit run timed_design_tpu/ui.py -- --path_to_models /models
 """
@@ -146,8 +145,13 @@ def main(argv=None):  # noqa: C901 - UI flow
             st.warning(f"{h5} not found; using randomly initialized {model_name}")
     import time
 
+    from .engine import DesignSession
+
+    session_key = f"session::{model_arg}"
+    if session_key not in st.session_state:
+        st.session_state[session_key] = DesignSession(model_arg, codec=spec.codec)
     t0 = time.perf_counter()
-    probs, fa = predict_structure(structure, model_arg, codec=spec.codec)
+    probs, fa = st.session_state[session_key].design(structure)
     t_pred = time.perf_counter() - t0
     rotamer = probs.shape[1] == 338
     if rotamer:
