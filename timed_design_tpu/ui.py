@@ -59,7 +59,6 @@ def main(argv=None):  # noqa: C901 - UI flow
     models_dir = Path(args.path_to_models)
 
     from .constants import sequence_similarity
-    from .engine import predict_structure
     from .models import get_model_spec
     from .sample.metrics import sequence_metrics
     from .sample.sampler import apply_temperature, sample_structure
