@@ -42,12 +42,27 @@ class DesignSession:
         return self.predictor.n_classes
 
     def design(self, structure: t.Union[Structure, Path, str]):
-        """PDB/Structure -> (probs (R, n_classes), FrameAtoms)."""
+        """PDB/Structure -> (probs (R, n_classes), FrameAtoms).
+
+        Per-phase wall times land in ``self.last_timings`` (voxelisation vs
+        prediction — the latency split the reference UI reports,
+        ui.py:914-955).
+        """
+        import time
+
         if not isinstance(structure, Structure):
             structure = load_pdb(Path(structure))
+        t0 = time.perf_counter()
         fa = structure_to_frame_atoms(structure, self.codec)
-        frames = voxelize_frame_atoms(fa, self.codec, gaussian=self.gaussian)
-        probs = self.predictor.predict_probs(np.asarray(frames))
+        frames = np.asarray(
+            voxelize_frame_atoms(fa, self.codec, gaussian=self.gaussian)
+        )
+        t1 = time.perf_counter()
+        probs = self.predictor.predict_probs(frames)
+        self.last_timings = {
+            "voxelisation": t1 - t0,
+            "prediction": time.perf_counter() - t1,
+        }
         return probs, fa
 
     def design_sequence(self, structure) -> str:

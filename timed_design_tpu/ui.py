@@ -162,7 +162,35 @@ def main(argv=None):  # noqa: C901 - UI flow
     from .constants import AA1
 
     designed_seq = "".join(np.array(list(AA1))[probs20.argmax(1)])
-    st.success(f"Voxelized + predicted {len(designed_seq)} residues in {t_pred:.2f}s")
+    timings = st.session_state[session_key].last_timings
+    st.success(
+        f"Designed {len(designed_seq)} residues in {t_pred:.2f}s "
+        f"(voxelisation {timings['voxelisation']:.2f}s, "
+        f"prediction {timings['prediction']:.2f}s)"
+    )
+
+    # 3D structure view: py3Dmol when installed, CA-trace fallback otherwise
+    with st.expander("3D structure", expanded=False):
+        try:
+            import py3Dmol
+
+            view = py3Dmol.view(width=700, height=450)
+            view.addModel(structure.to_pdb(), "pdb")
+            view.setStyle({"cartoon": {"color": "spectrum"}})
+            view.zoomTo()
+            st.components.v1.html(view._make_html(), height=470)
+        except ImportError:
+            import matplotlib.pyplot as plt
+
+            ca = structure.backbone_arrays()["CA"]
+            fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+            for ax, (i, j, lbl) in zip(
+                axes, [(0, 1, "xy"), (0, 2, "xz"), (1, 2, "yz")]
+            ):
+                ax.plot(ca[:, i], ca[:, j], "-o", markersize=2, linewidth=1)
+                ax.set_title(f"CA trace ({lbl})")
+                ax.set_aspect("equal")
+            st.pyplot(fig)
 
     # ---------------------------------------------------------- outputs
     tab_out, tab_perf, tab_opt = st.tabs(["Design", "Performance", "Optimisation"])
