@@ -23,6 +23,12 @@ import jax
 import pytest
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: conv3d grad compiles dominate suite time;
+# repeat runs (and the driver's) hit the cache instead.
+_cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+_cache_dir.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")

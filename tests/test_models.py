@@ -16,11 +16,16 @@ from timed_design_tpu.models import (
 
 
 @pytest.mark.parametrize(
-    "ctor,n_classes",
-    [(timed, 20), (timed_rotamer_not_so_deep, 338), (prodconn, 20), (densenet, 20)],
+    "ctor,n_classes,kw",
+    [
+        (timed, 20, dict(filters=(8, 16))),
+        (timed_rotamer_not_so_deep, 338, {}),
+        (prodconn, 20, {}),
+        (densenet, 20, dict(growth_rate=8, block_layers=(2, 2), init_features=8)),
+    ],
 )
-def test_forward_shapes_and_probs(ctor, n_classes):
-    model = ctor()
+def test_forward_shapes_and_probs(ctor, n_classes, kw):
+    model = ctor(**kw)
     x = jnp.asarray(np.random.default_rng(0).random((2, 21, 21, 21, 5)), jnp.float32)
     variables = model.init(jax.random.key(0), x)
     out = jax.jit(lambda v, x: model.apply(v, x))(variables, x)
@@ -60,7 +65,10 @@ def test_train_mode_runs_with_dropout_and_bn():
 
 
 def test_densecpd_deeper_than_densenet():
+    # compare param counts via shape-only eval (no compile)
     x = jnp.ones((1, 21, 21, 21, 5), jnp.float32)
-    n_dn = sum(p.size for p in jax.tree.leaves(densenet().init(jax.random.key(0), x)))
-    n_cpd = sum(p.size for p in jax.tree.leaves(densecpd().init(jax.random.key(0), x)))
+    shapes_dn = jax.eval_shape(densenet().init, jax.random.key(0), x)
+    shapes_cpd = jax.eval_shape(densecpd().init, jax.random.key(0), x)
+    n_dn = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes_dn))
+    n_cpd = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes_cpd))
     assert n_cpd > n_dn
