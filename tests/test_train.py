@@ -92,3 +92,21 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     out2 = module.apply(restored, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_distributed_helpers_single_host():
+    """Multi-host helpers degenerate correctly on one host."""
+    from timed_design_tpu.parallel import (
+        barrier,
+        gather_host_arrays,
+        initialize_distributed,
+        shard_work_for_host,
+    )
+
+    pi, pc = initialize_distributed()
+    assert (pi, pc) == (0, 1)
+    assert shard_work_for_host(["a", "b", "c"]) == ["a", "b", "c"]
+    assert shard_work_for_host(["a", "b", "c"], 1, 2) == ["b"]
+    x = np.arange(6.0).reshape(2, 3)
+    np.testing.assert_array_equal(gather_host_arrays(x), x)
+    barrier()

@@ -6,3 +6,9 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .distributed import (  # noqa: F401
+    barrier,
+    gather_host_arrays,
+    initialize_distributed,
+    shard_work_for_host,
+)
