@@ -12,3 +12,4 @@ from .timed import (  # noqa: F401
     timed_rotamer_deep,
     timed_rotamer_not_so_deep,
 )
+from .keras_export import export_timed_to_h5  # noqa: F401
