@@ -72,3 +72,17 @@ def test_densecpd_deeper_than_densenet():
     n_dn = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes_dn))
     n_cpd = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes_cpd))
     assert n_cpd > n_dn
+
+
+def test_bn_folding_parity():
+    """BN-folded inference equals the full model to float rounding."""
+    from timed_design_tpu.models.optimize import fold_timed_bn, timed_inference_apply
+
+    model = timed(filters=(8, 16))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 21, 21, 21, 5)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    bs = jax.tree.map(lambda a: a + 0.15, variables["batch_stats"])
+    ref = np.asarray(model.apply({"params": variables["params"], "batch_stats": bs}, x))
+    folded, n_blocks = fold_timed_bn(variables["params"], bs)
+    out = np.asarray(timed_inference_apply(folded, x, n_blocks))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
