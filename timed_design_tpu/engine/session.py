@@ -26,8 +26,13 @@ class DesignSession:
         batch_size: int = 512,
         mesh=None,
         gaussian: bool = True,
+        compute_dtype="bfloat16",
     ):
-        resolved, self.model_name = _resolve_model(model)
+        import jax.numpy as jnp
+
+        if isinstance(compute_dtype, str):
+            compute_dtype = getattr(jnp, compute_dtype)
+        resolved, self.model_name = _resolve_model(model, compute_dtype=compute_dtype)
         if codec is None:
             from ..models import MODEL_REGISTRY
 

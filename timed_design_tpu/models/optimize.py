@@ -88,24 +88,28 @@ def fold_timed_bn(
 def timed_inference_apply(
     folded: dict, x, n_blocks: int, compute_dtype=jnp.float32, logits: bool = False
 ):
-    """BN-free TIMED forward with folded parameters. Jit/pjit as usual."""
+    """BN-free TIMED forward with folded parameters. Jit/pjit as usual.
+
+    The whole elementwise chain stays in ``compute_dtype`` (the MXU
+    accumulates in fp32 internally regardless); only the final head conv
+    keeps an fp32 accumulator so the softmax sees full-precision logits.
+    """
     dn = ("NDHWC", "DHWIO", "NDHWC")
     x = x.astype(compute_dtype)
     for i in range(n_blocks):
+        bias = jnp.asarray(folded[f"bias_{i}"], compute_dtype)
+        if i > 0:
+            bias = bias + jnp.asarray(folded[f"bias_map_{i}"], compute_dtype)
         x = jax.lax.conv_general_dilated(
             x, jnp.asarray(folded[f"kernel_{i}"], compute_dtype),
             window_strides=(1, 1, 1), padding="SAME", dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
         )
-        x = x + jnp.asarray(folded[f"bias_{i}"], jnp.float32)
-        if i > 0:
-            x = x + jnp.asarray(folded[f"bias_map_{i}"], jnp.float32)
-        x = jax.nn.elu(x).astype(compute_dtype)
+        x = jax.nn.elu(x + bias)
     x = jax.lax.conv_general_dilated(
         x, jnp.asarray(folded["kernel_head"], compute_dtype),
         window_strides=(1, 1, 1), padding="SAME", dimension_numbers=dn,
         preferred_element_type=jnp.float32,
     )
     x = x + jnp.asarray(folded["bias_head"], jnp.float32)
-    x = x.astype(jnp.float32).mean(axis=(1, 2, 3))
+    x = x.mean(axis=(1, 2, 3))
     return x if logits else jax.nn.softmax(x, axis=-1)
