@@ -34,7 +34,8 @@ def main() -> None:
 
     from timed_design_tpu.models import timed
 
-    model = timed()  # flagship: real-scale TIMED (296k params)
+    # flagship: real-scale TIMED (296k params), bf16 MXU path (1.7x vs f32)
+    model = timed(compute_dtype=jnp.bfloat16)
     batch = 512
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, 21, 21, 21, 5)), jnp.bfloat16
