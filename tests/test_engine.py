@@ -117,3 +117,24 @@ def test_design_session(ubq_pdb_gz):
     # second call, same compiled path
     probs2, _ = sess.design(ubq_pdb_gz)
     np.testing.assert_allclose(probs, probs2, atol=1e-6)
+
+
+def test_trained_checkpoint_roundtrip(tmp_path, ubq_pdb_gz):
+    """td-train output feeds td-predict: MODEL@checkpoint.npz resolution."""
+    import jax
+    import optax
+    from timed_design_tpu.models import timed_rotamer_not_so_deep
+    from timed_design_tpu.train import init_train_state, save_checkpoint
+
+    module = timed_rotamer_not_so_deep()
+    state, _ = init_train_state(
+        module, jax.random.key(0), (1, 21, 21, 21, 5), optax.adam(1e-3), None
+    )
+    ckpt = tmp_path / "ckpt.npz"
+    save_checkpoint(state, ckpt)
+    probs, _ = predict_structure(
+        ubq_pdb_gz, f"TIMED_rotamer_not_so_deep@{ckpt}", codec="CNOCACB",
+        batch_size=128,
+    )
+    assert probs.shape == (76, 338)
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-3)

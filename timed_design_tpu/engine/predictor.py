@@ -125,6 +125,18 @@ def _resolve_model(m, compute_dtype=None):
         return m, m.name
     if isinstance(m, tuple):
         return m, getattr(m[0], "name", "model")
+    if isinstance(m, (str, Path)) and "@" in str(m):
+        # "<RegistryName>@<checkpoint.npz>": trained weights from cli/train.py
+        from ..models import get_model_spec
+        from ..train import load_checkpoint_params
+
+        name, ckpt = str(m).split("@", 1)
+        spec = get_model_spec(name)
+        module = spec.build(
+            **({"compute_dtype": compute_dtype} if compute_dtype is not None else {})
+        )
+        variables = load_checkpoint_params(ckpt)
+        return (module, variables), spec.name
     resolved = load_model(m, compute_dtype=compute_dtype)
     if isinstance(resolved, KerasH5Model):
         return resolved, resolved.name
