@@ -222,6 +222,19 @@ def main(argv=None):  # noqa: C901 - UI flow
                   if k.startswith("accuracy") or k in ("precision", "recall")})
         st.subheader("Prediction bias")
         st.bar_chart(m["bias"])
+        st.subheader("Confusion matrix (design vs native)")
+        import matplotlib.pyplot as plt
+
+        from .constants import AA1 as _AA1
+
+        fig_cm, ax_cm = plt.subplots(figsize=(7, 6))
+        im = ax_cm.imshow(m["unweighted_cm"], cmap="viridis", aspect="auto")
+        ax_cm.set_xticks(range(20), list(_AA1))
+        ax_cm.set_yticks(range(20), list(_AA1))
+        ax_cm.set_xlabel("Designed")
+        ax_cm.set_ylabel("Native")
+        fig_cm.colorbar(im)
+        st.pyplot(fig_cm)
     with tab_opt:
         if do_mc:
             import jax
