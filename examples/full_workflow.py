@@ -19,9 +19,15 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parents[1]
 UBQ = REPO / "tests" / "testing_files" / "1ubq.pdb1.gz"
+sys.path.insert(0, str(REPO))  # run without installing
 
 
 def main() -> None:
+    if "--cpu" in sys.argv:  # force CPU even when a TPU platform is pinned
+        sys.argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     work = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp())
     work.mkdir(parents=True, exist_ok=True)
     print(f"workdir: {work}")
