@@ -195,3 +195,26 @@ def test_golden_frames_regression(ubq_pdb_gz, testing_files):
     np.testing.assert_allclose(
         frames.sum(axis=(1, 2, 3, 4)), golden["total"], rtol=1e-4
     )
+
+
+def test_property_constrained_design_flow(ubq_pdb_gz):
+    """Full property-design flow: rewrite residue identities to match a
+    charge map (utils.py:60-110 role), voxelize with the Q codec, and verify
+    the property channel reflects the MODIFIED identities."""
+    from timed_design_tpu.structure import (
+        convert_seq_to_property,
+        modify_structure_with_property,
+    )
+
+    codec = Codec.from_string("CNOCACBQ")
+    s1 = load_pdb(ubq_pdb_gz)
+    prop = np.array(convert_seq_to_property(s1.sequence1(), "charge"))
+    # neutralize everything: all charges -> 0 (every D/E/K/R/H becomes ALA)
+    s2 = modify_structure_with_property(load_pdb(ubq_pdb_gz), prop * 0, "charge")
+    frames_orig, _ = voxelize_structure(s1, codec)
+    frames_neut, _ = voxelize_structure(s2, codec)
+    # original 1ubq has charged residues -> nonzero Q channel
+    assert np.abs(frames_orig[..., 5]).max() > 1e-3
+    # neutralized structure -> Q channel empty, other channels unchanged
+    assert np.abs(frames_neut[..., 5]).max() < 1e-6
+    np.testing.assert_allclose(frames_neut[..., :5], frames_orig[..., :5], atol=1e-5)

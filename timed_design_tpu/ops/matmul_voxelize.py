@@ -44,7 +44,6 @@ def _axis_weights(g_d, sigma, V: int, voxel_size: float, gaussian: bool):
     """
     v = jnp.arange(V, dtype=g_d.dtype)  # (V,)
     n0 = jnp.round(g_d)[..., None]  # (..., A, 1)
-    dist = v - g_d[..., None]  # (..., A, V)
     if gaussian:
         lo = (v - 0.5 - g_d[..., None]) * voxel_size
         hi = lo + voxel_size
@@ -58,9 +57,7 @@ def _axis_weights(g_d, sigma, V: int, voxel_size: float, gaussian: bool):
         wsum = 0.5 * (erf(whi / s) - erf(wlo / s))
         w = jnp.where(in_window, w, 0.0) / jnp.maximum(wsum, 1e-12)
     else:
-        w = (jnp.abs(dist) <= 0.5).astype(g_d.dtype)
-        # round() boundary: nearest voxel only
-        w = (n0 == v).astype(g_d.dtype)
+        w = (n0 == v).astype(g_d.dtype)  # nearest voxel only
     return w
 
 
