@@ -218,3 +218,20 @@ def test_property_constrained_design_flow(ubq_pdb_gz):
     # neutralized structure -> Q channel empty, other channels unchanged
     assert np.abs(frames_neut[..., 5]).max() < 1e-6
     np.testing.assert_allclose(frames_neut[..., :5], frames_orig[..., :5], atol=1e-5)
+
+
+def test_atom_filters(ubq_pdb_gz):
+    """aposteriori-style atom filters: backbone (default), ca, all."""
+    s = load_pdb(ubq_pdb_gz)
+    codec = Codec.from_string("CNOCBCA")
+    fa_bb = structure_to_frame_atoms(s, codec, atom_filter="backbone")
+    fa_ca = structure_to_frame_atoms(s, codec, atom_filter="ca")
+    fa_all = structure_to_frame_atoms(s, codec, atom_filter="all")
+    assert fa_ca.atoms_xyz.shape == (76, 3)
+    assert fa_bb.atoms_xyz.shape == (76 * 5, 3)
+    # full-atom: all 602 protein atoms of 1UBQ (real CBs, side chains, no H)
+    assert fa_all.atoms_xyz.shape[0] > 590
+    # in 'all' mode real CBs land on the CB channel
+    assert (fa_all.atom_channel == 3).sum() > 60
+    with pytest.raises(ValueError):
+        structure_to_frame_atoms(s, codec, atom_filter="sidechain")

@@ -381,6 +381,47 @@ def _layer_fn(class_name: str, cfg: dict, lname: str, dt) -> t.Callable:
         return lambda weights, args, _p=pads: jnp.pad(
             args[0], ((0, 0), *_p, (0, 0))
         )
+    if class_name == "Cropping3D":
+        crop = cfg.get("cropping", 1)
+        if isinstance(crop, int):
+            crops = [(crop, crop)] * 3
+        else:
+            crops = [tuple(c) if isinstance(c, (list, tuple)) else (c, c) for c in crop]
+
+        def fn(weights, args, _c=crops):
+            x = args[0]
+            sl = tuple(
+                slice(c0, x.shape[d + 1] - c1 if c1 else None)
+                for d, (c0, c1) in enumerate(_c)
+            )
+            return x[(slice(None), *sl, slice(None))]
+
+        return fn
+    if class_name == "UpSampling3D":
+        size = _to_tuple(cfg.get("size", 2), 3)
+
+        def fn(weights, args, _s=size):
+            x = args[0]
+            for d, rep in enumerate(_s):
+                x = jnp.repeat(x, rep, axis=d + 1)
+            return x
+
+        return fn
+    if class_name == "PReLU":
+        def fn(weights, args, _n=lname):
+            alpha = jnp.asarray(weights[_n]["alpha"], jnp.float32)
+            x = args[0]
+            return jnp.where(x >= 0, x, alpha * x)
+
+        return fn
+    if class_name == "Multiply":
+        def fn(weights, args):
+            out = args[0]
+            for a in args[1:]:
+                out = out * a
+            return out
+
+        return fn
     raise NotImplementedError(f"Keras layer {class_name!r} not supported")
 
 

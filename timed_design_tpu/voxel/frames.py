@@ -86,13 +86,19 @@ def structure_to_frame_atoms(
     structure: Structure,
     codec: Codec,
     encode_cb: bool = True,
+    atom_filter: str = "backbone",
 ) -> FrameAtoms:
-    """Strip side chains, impute CB, and flatten a structure to atom arrays.
+    """Flatten a structure to voxelizer atom arrays (frames + channels).
 
-    Mirrors the reference data prep (README.md:84-96): only N/CA/C/O are kept
-    (the prediction runs on the empty backbone), a virtual CB is added at the
-    fixed frame offset for every residue (``-cb True``), and the property
-    channel value (P/Q codecs) is derived from each residue's identity.
+    ``atom_filter`` mirrors aposteriori's filter functions (the dataset attr
+    ``atom_filter_fn``, utils.py:248):
+      * 'backbone' (default, the design flow): only N/CA/C/O kept — the
+        prediction runs on the empty backbone (README.md:84-96) — plus a
+        virtual CB imputed at the fixed frame offset (``-cb True``);
+      * 'ca': CA atoms only;
+      * 'all': every non-H atom incl. side chains (training datasets on
+        full structures; real CBs used, no imputation).
+    Property channel values (P/Q codecs) derive from residue identities.
     """
     std = [r for r in structure.residues if r.is_standard_aa]
     bb = structure.backbone_arrays()
@@ -109,28 +115,56 @@ def structure_to_frame_atoms(
         prop_values = np.zeros(len(std), np.float32)
 
     xyz, chan, sigma, prop = [], [], [], []
-    for i, res in enumerate(std):
-        for name in BACKBONE_FILTER:
-            p = bb[name][i]
+    if atom_filter == "all":
+        # full-atom path from the flat struct-of-arrays (side chains kept)
+        for j in range(structure.coords.shape[0]):
+            el = str(structure.elements[j])
+            if el == "H":
+                continue
+            ch = codec.atom_channel(str(structure.atom_names[j]), el)
+            if ch < 0:
+                continue
+            xyz.append(structure.coords[j])
+            chan.append(ch)
+            sigma.append(VDW_RADII.get(el, VDW_RADII["C"]))
+            prop.append(prop_values[structure.res_index[j]])
+    elif atom_filter == "ca":
+        for i in range(len(std)):
+            p = bb["CA"][i]
             if not np.isfinite(p).all():
                 continue
-            element = name[0]  # N->N, CA->C, C->C, O->O
-            ch = codec.atom_channel(name, element)
+            ch = codec.atom_channel("CA", "C")
             if ch < 0:
                 continue
             xyz.append(p)
             chan.append(ch)
-            sigma.append(VDW_RADII[element])
+            sigma.append(VDW_RADII["C"])
             prop.append(prop_values[i])
-        if encode_cb and valid[i]:
-            # virtual CB: frame offset mapped back to world coords
-            p = ca[i] + M[i].T @ CB_FRAME_OFFSET
-            ch = codec.atom_channel("CB", "C")
-            if ch >= 0:
+    elif atom_filter == "backbone":
+        for i, res in enumerate(std):
+            for name in BACKBONE_FILTER:
+                p = bb[name][i]
+                if not np.isfinite(p).all():
+                    continue
+                element = name[0]  # N->N, CA->C, C->C, O->O
+                ch = codec.atom_channel(name, element)
+                if ch < 0:
+                    continue
                 xyz.append(p)
                 chan.append(ch)
-                sigma.append(VDW_RADII["C"])
+                sigma.append(VDW_RADII[element])
                 prop.append(prop_values[i])
+            if encode_cb and valid[i]:
+                # virtual CB: frame offset mapped back to world coords
+                p = ca[i] + M[i].T @ CB_FRAME_OFFSET
+                ch = codec.atom_channel("CB", "C")
+                if ch >= 0:
+                    xyz.append(p)
+                    chan.append(ch)
+                    sigma.append(VDW_RADII["C"])
+                    prop.append(prop_values[i])
+    else:
+        raise ValueError(f"atom_filter {atom_filter!r} not in (backbone, ca, all)")
 
     return FrameAtoms(
         atoms_xyz=np.asarray(xyz, np.float32).reshape(-1, 3),
