@@ -38,9 +38,12 @@ def voxelize_structure(
     frame_edge_length: float = 21.0,
     gaussian: bool = True,
     encode_cb: bool = True,
+    atom_filter: str = "backbone",
 ):
     """Structure -> (frames ndarray (R,V,V,V,C), FrameAtoms metadata)."""
-    fa = structure_to_frame_atoms(structure, codec, encode_cb=encode_cb)
+    fa = structure_to_frame_atoms(
+        structure, codec, encode_cb=encode_cb, atom_filter=atom_filter
+    )
     frames = voxelize_frame_atoms(
         fa, codec, voxels_per_side=voxels_per_side,
         frame_edge_length=frame_edge_length, gaussian=gaussian,
@@ -58,6 +61,7 @@ def make_frame_dataset(
     encode_cb: bool = True,
     voxelise_all_states: bool = False,
     compression: bool = True,
+    atom_filter: str = "backbone",
 ) -> Path:
     """Voxelize PDB files into an aposteriori-schema HDF5 frame dataset.
 
@@ -77,7 +81,7 @@ def make_frame_dataset(
         f.attrs["frame_dims"] = (voxels_per_side,) * 3 + (codec.n_channels,)
         f.attrs["atom_encoder"] = list(codec.channels)
         f.attrs["encode_cb"] = bool(encode_cb)
-        f.attrs["atom_filter_fn"] = "backbone"
+        f.attrs["atom_filter_fn"] = atom_filter
         f.attrs["residue_encoder"] = list(AA3)
         f.attrs["frame_edge_length"] = float(frame_edge_length)
         f.attrs["voxels_as_gaussian"] = bool(gaussian)
@@ -88,7 +92,8 @@ def make_frame_dataset(
                 structures = [structures]
             for s in structures:
                 frames, fa = voxelize_structure(
-                    s, codec, voxels_per_side, frame_edge_length, gaussian, encode_cb
+                    s, codec, voxels_per_side, frame_edge_length, gaussian,
+                    encode_cb, atom_filter,
                 )
                 grp = f.require_group(s.name)
                 for i in range(len(fa.labels)):
