@@ -24,6 +24,9 @@ class ConvBlock(nn.Module):
     strides: tuple[int, int, int] = (1, 1, 1)
     padding: str = "SAME"
     compute_dtype: t.Any = jnp.float32
+    bn_momentum: float = 0.99  # Keras default; lower for short training runs
+                               # (running stats lag the train-mode batch
+                               # stats by ~1/(1-momentum) steps)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -38,8 +41,8 @@ class ConvBlock(nn.Module):
         x = nn.elu(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.99,
-            epsilon=1e-3,  # Keras defaults
+            momentum=self.bn_momentum,
+            epsilon=1e-3,  # Keras default epsilon
             dtype=jnp.float32,
         )(x.astype(jnp.float32)).astype(self.compute_dtype)
         return x

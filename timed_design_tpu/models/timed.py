@@ -30,12 +30,16 @@ class TIMED(nn.Module):
     filters: tuple[int, ...] = (16, 32, 64, 128)
     dropout_rate: float = 0.1
     compute_dtype: t.Any = jnp.float32
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False, logits: bool = False):
         x = x.astype(self.compute_dtype)
         for f in self.filters:
-            x = ConvBlock(f, compute_dtype=self.compute_dtype)(x, train=train)
+            x = ConvBlock(
+                f, compute_dtype=self.compute_dtype,
+                bn_momentum=self.bn_momentum,
+            )(x, train=train)
         if train and self.dropout_rate > 0:
             x = spatial_dropout_3d(
                 x, self.dropout_rate, deterministic=not train,
