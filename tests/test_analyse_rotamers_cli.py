@@ -1,0 +1,43 @@
+"""analyse_rotamers CLI end-to-end (SCWRL-free paths).
+
+Reference flow (analyse_rotamers.py:19-139): saved rotamer predictions +
+datasetmap + PDB directory -> wild-type crystal-rotamer metrics. The SCWRL
+analyses require the licensed binary and must skip cleanly.
+"""
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from timed_design_tpu.cli.analyse_rotamers import main as rot_main
+from timed_design_tpu.structure import load_pdb
+from timed_design_tpu.structure.geometry import encode_structure_rotamers
+
+
+def test_analyse_rotamers_cli(tmp_path, ubq_pdb_gz, capsys):
+    # layout a pdb dir the CLI can search
+    pdb_dir = tmp_path / "pdbs"
+    pdb_dir.mkdir()
+    shutil.copy(ubq_pdb_gz, pdb_dir / "1ubq.pdb1.gz")
+
+    # synthetic near-perfect predictions from the crystal rotamers
+    truth = np.array(encode_structure_rotamers(load_pdb(ubq_pdb_gz)), float)
+    P = np.full((76, 338), 0.1 / 337)
+    P[np.arange(76), truth.astype(int)] = 0.9
+    np.savetxt(tmp_path / "TIMED_rot.csv", P, delimiter=",")
+    (tmp_path / "TIMED.txt").write_text(
+        "ignore_uncommon False\ninclude_pdbs\n##########\n1ubqA 76\n"
+    )
+
+    rot_main([
+        "--path_to_pred_matrix", str(tmp_path / "TIMED_rot.csv"),
+        "--path_to_datasetmap", str(tmp_path / "TIMED.txt"),
+        "--path_to_pdb", str(pdb_dir),
+        "--path_to_output", str(tmp_path / "out"),
+    ])
+    out = capsys.readouterr().out
+    assert "[wt] top-1 1.0000" in out
+    assert "Skipping SCWRL analyses" in out
+    results = (tmp_path / "out" / "results_wt.txt").read_text()
+    assert "Metrics AUC_OVO" in results

@@ -159,3 +159,43 @@ def test_residue_map(ubq_pdb_gz):
     assert seq == UBQ_SEQ
     assert rmap[0] == "M1 (Chain A)"
     assert rmap[5] == "K6 (Chain A)"
+
+
+def test_parser_robustness_malformed_lines():
+    """Malformed/short/garbage ATOM lines are skipped, not fatal."""
+    from timed_design_tpu.structure import parse_pdb_string
+
+    text = "\n".join([
+        "HEADER    TEST",
+        "ATOM      1  N   ALA A   1      11.000  12.000  13.000  1.00 10.00           N",
+        "ATOM      2  CA  ALA A   1      12.000  12.000  13.000  1.00 10.00           C",
+        "ATOM   junk line that is not parseable",
+        "ATOM      3  C   ALA A ZZZ      13.000  12.000  13.000  1.00 10.00           C",  # bad resseq
+        "ATOM      4  C   ALA A   1      13.000  12.000  13.000  1.00 10.00           C",
+        "ATOM      5  O   ALA A   1      13.000  13.000  13.000  1.00 10.00           O",
+        "SHORT",
+        "",
+    ])
+    s = parse_pdb_string(text, name="junk")[0]
+    assert s.n_residues == 1
+    res = s.residues[0]
+    assert set(res.atom_names) == {"N", "CA", "C", "O"}
+
+
+def test_parser_altloc_and_hetatm():
+    from timed_design_tpu.structure import parse_pdb_string
+
+    text = "\n".join([
+        # altloc A kept, B dropped
+        "ATOM      1  CA AALA A   1      11.000  12.000  13.000  0.50 10.00           C",
+        "ATOM      2  CA BALA A   1      11.500  12.000  13.000  0.50 10.00           C",
+        # water HETATM dropped by default
+        "HETATM    3  O   HOH A 100      20.000  20.000  20.000  1.00 10.00           O",
+        # MSE (selenomethionine) HETATM remapped to MET and kept
+        "HETATM    4  CA  MSE A   2      14.000  12.000  13.000  1.00 10.00           C",
+    ])
+    s = parse_pdb_string(text, name="t")[0]
+    assert s.n_residues == 2
+    assert s.residues[0].coords[0][0] == pytest.approx(11.0)  # altloc A
+    assert s.residues[1].res_name == "MET"
+    assert s.sequence1() == "AM"
