@@ -14,21 +14,26 @@
 
 namespace {
 
-inline float parse_float(const char* s, int width) {
-    // strtof on a bounded, possibly space-padded fixed column
+inline bool parse_float(const char* s, int width, float* out) {
+    // strtof on a bounded, possibly space-padded fixed column; false when
+    // the field contains no numeric value (malformed record -> skip)
     char buf[16];
     int n = width < 15 ? width : 15;
     std::memcpy(buf, s, n);
     buf[n] = '\0';
-    return std::strtof(buf, nullptr);
+    char* end = nullptr;
+    *out = std::strtof(buf, &end);
+    return end != buf;
 }
 
-inline int parse_int(const char* s, int width) {
+inline bool parse_int(const char* s, int width, int* out) {
     char buf[16];
     int n = width < 15 ? width : 15;
     std::memcpy(buf, s, n);
     buf[n] = '\0';
-    return static_cast<int>(std::strtol(buf, nullptr, 10));
+    char* end = nullptr;
+    *out = static_cast<int>(std::strtol(buf, &end, 10));
+    return end != buf;
 }
 
 inline void copy_trim(const char* src, int width, char* dst, int cap) {
@@ -79,16 +84,25 @@ long pdb_scan(const char* text, long len, long cap,
             bool het = !atom && std::memcmp(p, "HETATM", 6) == 0;
             if ((atom || het) && line_len >= 54) {
                 if (count >= cap) return -1;
+                int seq;
+                float x, y, z;
+                bool ok = parse_int(p + 22, 4, &seq)
+                    && parse_float(p + 30, 8, &x)
+                    && parse_float(p + 38, 8, &y)
+                    && parse_float(p + 46, 8, &z);
+                if (!ok) { if (nl) { p = nl + 1; continue; } else break; }
                 copy_trim(p + 12, 4, atom_name + count * 4, 4);
                 altloc[count] = p[16];
                 copy_trim(p + 17, 3, res_name + count * 3, 3);
                 chain_id[count] = p[21];
-                res_seq[count] = parse_int(p + 22, 4);
+                res_seq[count] = seq;
                 icode[count] = p[26] == ' ' ? '\0' : p[26];
-                coords[count * 3 + 0] = parse_float(p + 30, 8);
-                coords[count * 3 + 1] = parse_float(p + 38, 8);
-                coords[count * 3 + 2] = parse_float(p + 46, 8);
-                bfactors[count] = line_len >= 66 ? parse_float(p + 60, 6) : 0.0f;
+                coords[count * 3 + 0] = x;
+                coords[count * 3 + 1] = y;
+                coords[count * 3 + 2] = z;
+                float bf = 0.0f;
+                if (line_len >= 66) parse_float(p + 60, 6, &bf);
+                bfactors[count] = bf;
                 if (line_len >= 78) {
                     copy_trim(p + 76, 2, element + count * 2, 2);
                 } else {
