@@ -23,7 +23,9 @@ inline bool parse_float(const char* s, int width, float* out) {
     buf[n] = '\0';
     char* end = nullptr;
     *out = std::strtof(buf, &end);
-    return end != buf;
+    if (end == buf) return false;
+    while (*end == ' ') ++end;  // python float() semantics: whole field
+    return *end == '\0';
 }
 
 inline bool parse_int(const char* s, int width, int* out) {
@@ -33,7 +35,9 @@ inline bool parse_int(const char* s, int width, int* out) {
     buf[n] = '\0';
     char* end = nullptr;
     *out = static_cast<int>(std::strtol(buf, &end, 10));
-    return end != buf;
+    if (end == buf) return false;
+    while (*end == ' ') ++end;  // python int() semantics: whole field
+    return *end == '\0';
 }
 
 inline void copy_trim(const char* src, int width, char* dst, int cap) {
@@ -101,7 +105,12 @@ long pdb_scan(const char* text, long len, long cap,
                 coords[count * 3 + 1] = y;
                 coords[count * 3 + 2] = z;
                 float bf = 0.0f;
-                if (line_len >= 66) parse_float(p + 60, 6, &bf);
+                // python-parity: float(line[60:66]) also parses short slices
+                // of truncated lines (width = what's available past col 60)
+                if (line_len > 60) {
+                    int w = line_len - 60 < 6 ? (int)(line_len - 60) : 6;
+                    if (!parse_float(p + 60, w, &bf)) bf = 0.0f;
+                }
                 bfactors[count] = bf;
                 if (line_len >= 78) {
                     copy_trim(p + 76, 2, element + count * 2, 2);
