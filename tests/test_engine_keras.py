@@ -71,3 +71,24 @@ def test_engine_with_keras_h5(tmp_path, ubq_h5, keras_h5):
     decided = (top2[:, 1] - top2[:, 0]) > 2e-3
     if decided.any():
         assert (ours.argmax(1)[decided] == ref.argmax(1)[decided]).all()
+
+
+def test_engine_multi_model_ensemble(tmp_path, ubq_h5, keras_h5):
+    """Reference supports a models list (predict.py:114): every model gets
+    its own artifact set; encoded_labels written once."""
+    h5_path, _ = keras_h5
+    import shutil
+
+    h5_b = tmp_path / "TIMED_b.h5"
+    shutil.copy(h5_path, h5_b)
+    load_dataset_and_predict(
+        [str(h5_path), str(h5_b)], ubq_h5, batch_size=32,
+        path_to_output=tmp_path, dataset_map_path=tmp_path / "datasetmap.txt",
+    )
+    assert (tmp_path / "TIMED_small.csv").exists()
+    assert (tmp_path / "TIMED_b.csv").exists()
+    assert (tmp_path / "TIMED_small.fasta").exists()
+    assert (tmp_path / "TIMED_b.fasta").exists()
+    # labels written once (76 rows, not 152)
+    labels = (tmp_path / "encoded_labels.csv").read_text().strip().splitlines()
+    assert len(labels) == 76
