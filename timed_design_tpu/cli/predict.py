@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_analysis", action="store_true",
                    help="Emit probability heatmaps, mean/var plots and "
                         "sequence logos per structure")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Conv compute dtype; bfloat16 runs ~1.7x faster on "
+                        "the MXU (float32 default for strict CSV parity)")
     return p
 
 
@@ -70,6 +74,12 @@ def main(argv=None) -> None:
 
     from ..engine import load_dataset_and_predict
 
+    compute_dtype = None
+    if args.compute_dtype != "float32":
+        import jax.numpy as jnp
+
+        compute_dtype = getattr(jnp, args.compute_dtype)
+
     result = load_dataset_and_predict(
         cfg.path_to_model,
         cfg.path_to_dataset,
@@ -80,6 +90,7 @@ def main(argv=None) -> None:
         predict_rotamers=cfg.predict_rotamers,
         is_consensus=cfg.is_structure_nmr,
         path_to_output=cfg.path_to_output,
+        compute_dtype=compute_dtype,
     )
     print(f"Predicted {sum(len(s) for s in result.pdb_to_sequence.values())} residues "
           f"across {len(result.pdb_to_sequence)} chains.")

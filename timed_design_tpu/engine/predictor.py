@@ -165,6 +165,7 @@ def load_dataset_and_predict(
     path_to_output: Path = Path.cwd(),
     mesh=None,
     float16_decode: bool = True,
+    compute_dtype=None,
 ) -> PredictionResult:
     """Engine entry point — reference-parity surface (predict.py:28-194).
 
@@ -192,7 +193,7 @@ def load_dataset_and_predict(
 
     result: PredictionResult | None = None
     for model_i, m in enumerate(models):
-        model, model_name = _resolve_model(m)
+        model, model_name = _resolve_model(m, compute_dtype=compute_dtype)
         model_name += model_name_suffix
         predictor = Predictor(model, batch_size=batch_size, mesh=mesh)
 
