@@ -71,7 +71,6 @@ class Predictor:
         model: t.Union[KerasH5Model, tuple],
         batch_size: int = 512,
         mesh=None,
-        donate: bool = True,
     ):
         """``model``: a KerasH5Model, or ``(flax_module, variables)``."""
         self.mesh = mesh if mesh is not None else make_mesh()
