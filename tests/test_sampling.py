@@ -118,3 +118,19 @@ def test_main_sample_end_to_end(tmp_path, monkeypatch):
     metrics = open(paths[2]).read().splitlines()
     assert len(metrics) == 15
     assert metrics[0].startswith("pdb,sequence,charge")
+
+
+def test_temperature_zero_is_argmax():
+    """T=0 = deterministic argmax (README.md:203) — must not crash."""
+    rng = np.random.default_rng(3)
+    p = rng.random((6, 20))
+    p /= p.sum(1, keepdims=True)
+    out = apply_temperature(p, 0)
+    np.testing.assert_array_equal(out.argmax(1), p.argmax(1))
+    np.testing.assert_array_equal(out.max(1), 1.0)
+    np.testing.assert_array_equal(out.sum(1), 1.0)
+    # sampling at T=0 returns the argmax sequence every time
+    import jax
+
+    s = sample_structure(p, 3, jax.random.key(0), temperature=0)
+    assert s[0][0] == s[1][0] == s[2][0]

@@ -33,6 +33,12 @@ def apply_temperature(probs, temperature: float = 1.0):
     (sampling_utils.py:139-161), not logit scaling. Works on np or jnp."""
     xp = jnp if isinstance(probs, jax.Array) else np
     p = xp.asarray(probs)
+    if temperature == 0:
+        # T=0 is deterministic argmax (README.md:203 "equivalent to taking
+        # the most probable token every time") — one-hot on the row max.
+        idx = p.argmax(axis=-1)
+        eye = xp.eye(p.shape[-1], dtype=p.dtype)
+        return eye[idx]
     # Rescale by the row max before the power: identical after renormalization
     # but immune to the underflow the naive ``p ** (1/T)`` hits at low T.
     p = p / p.max(axis=-1, keepdims=True)
