@@ -42,7 +42,7 @@ def main() -> None:
     from timed_design_tpu.engine import load_dataset_and_predict
 
     result = load_dataset_and_predict(
-        ["TIMED_rotamer_not_so_deep"], dataset, batch_size=128,
+        ["TIMED_rotamer_not_so_deep"], dataset, batch_size=128, allow_random_weights=True,
         path_to_output=work, dataset_map_path=work / "datasetmap.txt",
         predict_rotamers=True,
     )

@@ -59,7 +59,7 @@ def test_consensus_pipeline(tmp_path, nmr_pdb):
         assert set(f.keys()) == {"2nmr_0", "2nmr_1"}
 
     result = load_dataset_and_predict(
-        ["TIMED_rotamer_not_so_deep"], h5, batch_size=64,
+        ["TIMED_rotamer_not_so_deep"], h5, batch_size=64, allow_random_weights=True,
         path_to_output=tmp_path, dataset_map_path=tmp_path / "datasetmap.txt",
         predict_rotamers=True, is_consensus=True,
     )

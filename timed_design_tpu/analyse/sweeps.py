@@ -26,6 +26,7 @@ def run_model_benchmark(
     output_root: Path,
     batch_size: int = 512,
     predict_rotamers: bool = False,
+    allow_random_weights: bool = False,
 ) -> dict[str, dict]:
     """Run every model over one dataset; per-model output dirs + metrics.
 
@@ -43,6 +44,7 @@ def run_model_benchmark(
             [model], Path(dataset_path), batch_size=batch_size,
             path_to_output=out, predict_rotamers=predict_rotamers,
             dataset_map_path=out / "datasetmap.txt",
+            allow_random_weights=allow_random_weights,
         )
         m = calculate_metrics(res.pdb_to_sequence, res.pdb_to_real_sequence)
         results[str(model)] = {

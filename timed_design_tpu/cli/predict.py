@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="Conv compute dtype; bfloat16 runs ~1.7x faster on "
                         "the MXU (float32 default for strict CSV parity)")
+    p.add_argument("--allow-random-weights", action="store_true",
+                   dest="allow_random_weights",
+                   help="Permit bare registry names with no weights "
+                        "(randomly initialized — benchmarking only). "
+                        "Without this flag, a model given as a registry "
+                        "name must carry weights via .h5 or Name@ckpt.npz.")
     return p
 
 
@@ -91,6 +97,7 @@ def main(argv=None) -> None:
         is_consensus=cfg.is_structure_nmr,
         path_to_output=cfg.path_to_output,
         compute_dtype=compute_dtype,
+        allow_random_weights=args.allow_random_weights,
     )
     print(f"Predicted {sum(len(s) for s in result.pdb_to_sequence.values())} residues "
           f"across {len(result.pdb_to_sequence)} chains.")

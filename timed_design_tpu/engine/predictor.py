@@ -110,9 +110,12 @@ class Predictor:
         return out
 
 
-def _resolve_model(m, compute_dtype=None):
-    """Path/.h5 -> KerasH5Model; registry name -> randomly-initialized Flax
-    model (useful for benchmarks; real use imports released weights).
+def _resolve_model(m, compute_dtype=None, allow_random_weights=False):
+    """Path/.h5 -> KerasH5Model; "Name@ckpt.npz" -> trained Flax model;
+    bare registry name -> randomly-initialized Flax model, REFUSED unless
+    ``allow_random_weights`` (benchmarks/tests only — the reference always
+    loads real weights, predict.py:121, and silently random predictions are
+    garbage the user cannot distinguish from real ones).
 
     ``compute_dtype=jnp.bfloat16`` runs convs on the MXU at bf16 rate
     (measured 1.7x on v5e) with fp32 accumulation — the serving default via
@@ -140,6 +143,21 @@ def _resolve_model(m, compute_dtype=None):
     if isinstance(resolved, KerasH5Model):
         return resolved, resolved.name
     spec: ModelSpec = resolved
+    if not allow_random_weights:
+        raise ValueError(
+            f"model {str(m)!r} resolves to registry architecture "
+            f"{spec.name!r} with NO weights — predictions would be random "
+            "garbage. Pass a .h5 weights file, a 'Name@checkpoint.npz' from "
+            "cli/train.py, or set allow_random_weights=True "
+            "(--allow-random-weights on the CLI) for benchmarking."
+        )
+    import sys
+
+    print(
+        f"WARNING: using RANDOMLY INITIALIZED weights for {spec.name} — "
+        "outputs are not real designs (benchmark mode).",
+        file=sys.stderr,
+    )
     module = spec.build(
         **({"compute_dtype": compute_dtype} if compute_dtype is not None else {})
     )
@@ -165,6 +183,7 @@ def load_dataset_and_predict(
     mesh=None,
     float16_decode: bool = True,
     compute_dtype=None,
+    allow_random_weights: bool = False,
 ) -> PredictionResult:
     """Engine entry point — reference-parity surface (predict.py:28-194).
 
@@ -192,7 +211,10 @@ def load_dataset_and_predict(
 
     result: PredictionResult | None = None
     for model_i, m in enumerate(models):
-        model, model_name = _resolve_model(m, compute_dtype=compute_dtype)
+        model, model_name = _resolve_model(
+            m, compute_dtype=compute_dtype,
+            allow_random_weights=allow_random_weights,
+        )
         model_name += model_name_suffix
         predictor = Predictor(model, batch_size=batch_size, mesh=mesh)
 
@@ -255,6 +277,7 @@ def predict_structure(
     gaussian: bool = True,
     batch_size: int = 512,
     mesh=None,
+    allow_random_weights: bool = False,
 ):
     """Full on-device pipeline: PDB -> frames -> probabilities.
 
@@ -267,7 +290,9 @@ def predict_structure(
 
     if not isinstance(structure_or_path, Structure):
         structure_or_path = load_pdb(Path(structure_or_path))
-    resolved, _ = _resolve_model(model)
+    resolved, _ = _resolve_model(
+        model, allow_random_weights=allow_random_weights
+    )
     if codec is None:
         codec = Codec.CNOCACB()
     elif isinstance(codec, str):

@@ -27,12 +27,16 @@ class DesignSession:
         mesh=None,
         gaussian: bool = True,
         compute_dtype="bfloat16",
+        allow_random_weights: bool = False,
     ):
         import jax.numpy as jnp
 
         if isinstance(compute_dtype, str):
             compute_dtype = getattr(jnp, compute_dtype)
-        resolved, self.model_name = _resolve_model(model, compute_dtype=compute_dtype)
+        resolved, self.model_name = _resolve_model(
+            model, compute_dtype=compute_dtype,
+            allow_random_weights=allow_random_weights,
+        )
         if codec is None:
             from ..models import MODEL_REGISTRY
 
