@@ -43,7 +43,7 @@ def _make_kernel(Lp: int, Cp: int, block: int):
     n_chunks = Cp // _CLASS_CHUNK
 
     def kernel(seed_ref, cdf_ref, out_ref):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[pl.program_id(0)])
         bits = pltpu.prng_random_bits((block, Lp))
         # uint32 -> uniform [0, 1) with 24 bits of mantissa. Mosaic has no
         # uint32->f32 cast, so shift into the int32-safe range first.
@@ -78,6 +78,16 @@ def pallas_sample_class_indices(
     cdf = jnp.pad(cdf, ((0, Lp - L), (0, Cp - C)), constant_values=2.0)
 
     n_blocks = -(-n_samples // block)
+    # Per-block seeds: hash (seed, block_id) with the murmur3 finalizer so
+    # nearby master seeds get unrelated per-block streams (seed+program_id
+    # would alias block i of seed s with block i-1 of seed s+1).
+    z = jax.lax.bitcast_convert_type(
+        jnp.asarray(seed, jnp.int32), jnp.uint32
+    ) + jnp.arange(n_blocks, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+    z = (z ^ (z >> 16)) * jnp.uint32(0x85EBCA6B)
+    z = (z ^ (z >> 13)) * jnp.uint32(0xC2B2AE35)
+    z = z ^ (z >> 16)
+    block_seeds = jax.lax.bitcast_convert_type(z, jnp.int32)
     out = pl.pallas_call(
         _make_kernel(Lp, Cp, block),
         grid=(n_blocks,),
@@ -90,5 +100,5 @@ def pallas_sample_class_indices(
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks * block, Lp), jnp.int32),
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32).reshape(1), cdf)
+    )(block_seeds, cdf)
     return out[:n_samples, :L]
