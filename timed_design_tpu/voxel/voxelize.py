@@ -47,7 +47,7 @@ def _phi_integral(lo, hi, sigma):
     jax.jit,
     static_argnames=(
         "n_channels", "prop_channel", "voxels_per_side", "voxel_size",
-        "gaussian", "chunk",
+        "gaussian", "chunk", "spread",
     ),
 )
 def voxelize(
@@ -64,8 +64,16 @@ def voxelize(
     voxel_size: float = 1.0,
     gaussian: bool = True,
     chunk: int = 32,
+    spread: str = "integral",
 ) -> jax.Array:
-    """Voxelize all residues of one structure. Returns (R, V, V, V, C) float32."""
+    """Voxelize all residues of one structure. Returns (R, V, V, V, C) float32.
+
+    ``spread`` (gaussian mode): 'integral' = per-axis N(0, sigma^2) integral
+    over each voxel extent (default), 'pdf' = pdf evaluated at voxel centers;
+    both renormalize to unit sum over the 27-neighborhood. The two candidate
+    aposteriori conventions — see docs/VOXELIZER_SPEC.md §4 and
+    scripts/voxel_parity.py.
+    """
     V = voxels_per_side
     C = n_channels
     R = ca.shape[0]
@@ -85,9 +93,16 @@ def voxelize(
         if gaussian:
             n0 = jnp.round(g)  # (chunk, A, 3)
             v = n0[:, :, None, :] + _NEIGHBORHOOD[None, None, :, :]  # (chunk,A,27,3)
-            lo = (v - 0.5 - g[:, :, None, :]) * voxel_size
-            hi = lo + voxel_size
-            w_axes = _phi_integral(lo, hi, atom_sigma[None, :, None, None])
+            if spread == "integral":
+                lo = (v - 0.5 - g[:, :, None, :]) * voxel_size
+                hi = lo + voxel_size
+                w_axes = _phi_integral(lo, hi, atom_sigma[None, :, None, None])
+            elif spread == "pdf":
+                d = (v - g[:, :, None, :]) * voxel_size
+                s = atom_sigma[None, :, None, None]
+                w_axes = jnp.exp(-0.5 * (d / s) ** 2)  # pdf up to a constant
+            else:
+                raise ValueError(f"Unknown spread {spread!r}")
             w = jnp.prod(w_axes, axis=-1)  # (chunk, A, 27)
             w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-12)
         else:
@@ -138,6 +153,7 @@ def voxelize_frame_atoms(
     gaussian: bool = True,
     chunk: int = 16,
     impl: str = "matmul",
+    spread: str = "integral",
 ) -> jax.Array:
     """Host wrapper: FrameAtoms + Codec -> (R, V, V, V, C) device frames.
 
@@ -148,10 +164,12 @@ def voxelize_frame_atoms(
     prop = codec.property_channel
     prop_idx = codec.channels.index(prop) if prop else -1
     voxel_size = frame_edge_length / voxels_per_side
+    if spread != "integral" and impl == "matmul":
+        impl = "scatter"  # only the scatter path implements the pdf variant
     if impl == "matmul":
         from ..ops.matmul_voxelize import voxelize_matmul as fn
     elif impl == "scatter":
-        fn = voxelize
+        fn = functools.partial(voxelize, spread=spread)
     else:
         raise ValueError(f"Unknown voxelizer impl {impl!r}")
     return fn(
