@@ -48,6 +48,7 @@ def test_all_states_parsing(nmr_pdb):
     assert single.n_residues == 76
 
 
+@pytest.mark.slow
 def test_consensus_pipeline(tmp_path, nmr_pdb):
     h5 = make_frame_dataset(
         [nmr_pdb], tmp_path / "nmr.hdf5", codec="CNOCACB",

@@ -44,6 +44,7 @@ def test_predictor_batching_and_sharding():
     np.testing.assert_allclose(probs, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_load_dataset_and_predict_artifacts(tmp_path, monkeypatch, ubq_h5):
     monkeypatch.chdir(tmp_path)
     result = load_dataset_and_predict(
@@ -99,6 +100,7 @@ def test_registry_name_without_weights_hard_errors(ubq_h5, tmp_path):
         DesignSession("TIMED")
 
 
+@pytest.mark.slow
 def test_predict_structure_no_h5(ubq_pdb_gz):
     """PDB -> frames -> probs entirely on device (no intermediate file)."""
     probs, fa = predict_structure(
@@ -121,6 +123,7 @@ def test_resume_start_batch(ubq_h5):
     np.testing.assert_array_equal(full[2][0], resumed[0][0])
 
 
+@pytest.mark.slow
 def test_design_session(ubq_pdb_gz):
     """Persistent session: repeated designs reuse the compiled executable."""
     from timed_design_tpu.engine import DesignSession
@@ -138,6 +141,7 @@ def test_design_session(ubq_pdb_gz):
     np.testing.assert_allclose(probs, probs2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trained_checkpoint_roundtrip(tmp_path, ubq_pdb_gz):
     """td-train output feeds td-predict: MODEL@checkpoint.npz resolution."""
     import jax

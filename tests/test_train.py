@@ -29,6 +29,7 @@ def _toy_batches(n_batches=6, batch=16, channels=5, n_classes=20, seed=0):
     return out
 
 
+@pytest.mark.slow
 def test_loss_decreases():
     module = timed(filters=(8,))
     batches = _toy_batches(n_batches=8)
