@@ -1,25 +1,34 @@
 """Streamlit web UI — interactive protein sequence design.
 
 TPU-native rebuild of the reference webapp (ui.py:854-1005): upload or name a
-PDB backbone, pick a model (TIMED / TIMED_Charge / TIMED_Polar / DenseCPD /
-DenseNet / ProDCoNN), optionally pin polar/charged positions
-(property-constrained design), then voxelize -> predict -> explore:
-predicted sequence + metrics, BLOSUM62 similarity, probability heatmap,
-per-position explorer, sequence logo, performance section (top-k accuracy,
-bias, confusion matrix vs the native sequence), and a Monte-Carlo
-optimisation tab that ranks samples by summed normalized MAE over the four
-sequence metrics (reference ui.py:641-660).
+PDB backbone, pick a model (auto-discovered `.h5` releases in the models dir
+plus the registry architectures), optionally pin polar/charged positions
+(property-constrained design, reference ui.py:797-831), then voxelize ->
+predict -> explore. Feature parity with the reference's sections:
+
+  * Design tab: designed sequence, original vs predicted sequence metrics
+    with deltas, BLOSUM62 similarity + identity, residue composition chart,
+    a REAL per-position probability heatmap with the native residues marked
+    (reference ui.py:424-485), a per-position probability explorer
+    (ui.py:489-520), prediction entropy, sequence logo, CSV download;
+  * Performance tab: top-k accuracy, prediction bias, confusion matrix vs
+    the native sequence (ui.py:534-604);
+  * Optimisation tab: MC sampling ranked by summed normalized metric MAE
+    (ui.py:641-660);
+  * NMR multi-state flow: design every MODEL state and build the running
+    pairwise-average consensus (`voxelise_all_states`, README.md:84,
+    utils.py:694-721).
 
 Differences by design: no intermediate HDF5 — frames voxelize straight to
-device memory (engine.predict_structure), and repeated designs reuse the
-compiled executable via engine.DesignSession.
+device memory, and repeated designs reuse the compiled executable via
+engine.DesignSession. Heatmaps/logos render with matplotlib (altair is not a
+dependency).
 
 Run:  streamlit run timed_design_tpu/ui.py -- --path_to_models /models
 """
 from __future__ import annotations
 
 import argparse
-import hashlib
 import sys
 from pathlib import Path
 
@@ -27,13 +36,16 @@ import numpy as np
 
 try:
     import streamlit as st
-except ImportError as _e:  # pragma: no cover
+except ImportError as _e:  # pragma: no cover - exercised via stub in tests
     st = None
     _STREAMLIT_ERR = _e
 
 
-MODELS_20 = ["TIMED", "TIMED_Deep", "DenseCPD", "DenseNet", "ProDCoNN"]
-MODELS_PROP = ["TIMED_Charge", "TIMED_Polar"]
+REGISTRY_UI_MODELS = [
+    "TIMED", "TIMED_Deep", "DenseCPD", "DenseNet", "ProDCoNN",
+    "TIMED_Charge", "TIMED_Polar",
+]
+PROPERTY_MODELS = {"TIMED_Charge": "charge", "TIMED_Polar": "polarity"}
 
 
 def _parse_args(argv):
@@ -42,134 +54,302 @@ def _parse_args(argv):
     p.add_argument("--path_to_pdb", type=str, default=None,
                    help="Optional local PDB mirror (searched for codes)")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=512,
+                   help="Frames per compiled device step (reference UI "
+                        "uses 500, ui.py:195)")
     return p.parse_args(argv)
 
 
-def _file_digest(data: bytes) -> str:
-    return hashlib.sha256(data).hexdigest()[:16]
+def discover_models(models_dir: Path) -> dict[str, Path | None]:
+    """Model options: every `.h5` in the models dir (auto-discovery, the
+    reference picks from a fixed list but loads from disk ui.py:732-748),
+    then registry architectures without weights (demo mode only)."""
+    found: dict[str, Path | None] = {}
+    if models_dir.is_dir():
+        for h5 in sorted(models_dir.glob("*.h5")):
+            found[h5.stem] = h5
+    for name in REGISTRY_UI_MODELS:
+        found.setdefault(name, None)
+    return found
 
 
-def main(argv=None):  # noqa: C901 - UI flow
-    if st is None:
-        raise SystemExit(
-            f"streamlit is required for the UI ({_STREAMLIT_ERR}). "
-            "Install streamlit, or use the CLI: python -m timed_design_tpu.cli.predict"
-        )
-    args = _parse_args(argv or sys.argv[1:])
-    models_dir = Path(args.path_to_models)
+def _nmr_consensus(per_state_probs: list[np.ndarray]) -> np.ndarray:
+    """Running pairwise average over states — the reference's consensus
+    accumulation order (utils.py:694-721: consensus = (consensus + cur)/2)."""
+    acc = np.array(per_state_probs[0])
+    for p in per_state_probs[1:]:
+        acc = (acc + np.array(p)) / 2
+    return acc
 
-    from .constants import sequence_similarity
-    from .models import get_model_spec
-    from .sample.metrics import sequence_metrics
-    from .sample.sampler import apply_temperature, sample_structure
-    from .structure import (
-        convert_seq_to_property,
-        create_residue_map,
-        load_pdb,
-        modify_structure_with_property,
-        parse_pdb_string,
-    )
-    from .analyse import calculate_metrics, create_sequence_logo
-    from .analyse.structure_analysis import calculate_prediction_entropy
 
-    st.set_page_config(page_title="TIMED-Design (TPU)", layout="wide")
-    st.title("TIMED-Design — TPU-native protein sequence design")
+# --------------------------------------------------------------- sections
 
-    # ------------------------------------------------------------- sidebar
+
+def _draw_sidebar(model_options: dict):
     with st.sidebar:
-        st.header("Input")
-        uploaded = st.file_uploader("Upload backbone PDB", type=["pdb", "pdb1", "ent", "gz"])
-        pdb_code = st.text_input("...or PDB code (needs --path_to_pdb mirror)")
-        model_name = st.selectbox("Model", MODELS_20 + MODELS_PROP)
-        use_h5 = st.checkbox("Load released .h5 weights from models dir", value=False)
-        st.header("Monte Carlo")
-        do_mc = st.checkbox("Optimise with MC sampling", value=False)
-        sample_n = st.number_input("Samples", 10, 5000, 200)
-        temperature = st.slider("Temperature", 0.01, 5.0, 0.2)
+        st.title("Design Proteins")
+        pdb_code = st.text_input("Enter a PDB Code:", value="",
+                                 placeholder="1qys")
+        st.write("or")
+        uploaded = st.file_uploader(
+            "Upload your backbone/PDB of interest",
+            type=["pdb", "pdb1", "ent", "gz"],
+        )
+        model_name = st.selectbox("Choose your Model",
+                                  list(model_options.keys()))
+        nmr_all_states = st.checkbox(
+            "Design all NMR states (consensus)", value=False,
+            help="Voxelise every MODEL in the file and average predictions",
+        )
+        demo_random = st.checkbox(
+            "Demo mode (random weights)", value=False,
+            help="Run architectures without released weights — outputs are "
+                 "NOT real designs",
+        )
+        with st.expander("Advanced Settings"):
+            do_mc = st.checkbox("Optimize sequences using Monte Carlo",
+                                value=False, key="mc")
+            sample_n = st.number_input("Number of samples", 10, 5000, 200)
+            temperature = st.slider("Temperature", 0.01, 5.0, 0.2)
         run = st.button("Design!", type="primary")
+    return dict(pdb_code=pdb_code.lower(), uploaded=uploaded,
+                model_name=model_name, nmr_all_states=nmr_all_states,
+                demo_random=demo_random, do_mc=do_mc,
+                sample_n=int(sample_n), temperature=float(temperature),
+                run=run)
 
-    if not run:
-        st.info("Upload a backbone (or give a PDB code) and press Design!")
-        return
 
-    # --------------------------------------------------------- load structure
-    if uploaded is not None:
-        data = uploaded.read()
-        if uploaded.name.endswith(".gz"):
+def _load_structures(cfg, args):
+    """Upload or mirror lookup -> list of state Structures (1 unless NMR)."""
+    from .structure import load_pdb, parse_pdb_string
+
+    all_states = cfg["nmr_all_states"]
+    if cfg["uploaded"] is not None:
+        data = cfg["uploaded"].read()
+        if cfg["uploaded"].name.endswith(".gz"):
             import gzip
 
             data = gzip.decompress(data)
-        structure = parse_pdb_string(data.decode(), name=uploaded.name.split(".")[0])[0]
-    elif pdb_code and args.path_to_pdb:
+        states = parse_pdb_string(
+            data.decode(), name=cfg["uploaded"].name.split(".")[0],
+            all_states=all_states,
+        )
+    elif cfg["pdb_code"] and args.path_to_pdb:
         base = Path(args.path_to_pdb)
-        hits = list(base.glob(f"**/{pdb_code.lower()}*.pdb*"))
+        hits = list(base.glob(f"**/{cfg['pdb_code']}*.pdb*"))
         if not hits:
-            st.error(f"No structure for code {pdb_code} under {base}")
-            return
-        structure = load_pdb(hits[0])
+            st.error(f"No structure for code {cfg['pdb_code']} under {base}")
+            return None
+        states = load_pdb(hits[0], all_states=all_states)
     else:
         st.error("Provide a PDB upload or a code + --path_to_pdb")
-        return
+        return None
+    if not isinstance(states, list):
+        states = [states]
+    return states
 
-    residue_map, native_seq = create_residue_map(structure)
-    spec = get_model_spec(model_name)
 
-    # ------------------------------------------- property-constrained design
-    if model_name in MODELS_PROP:
-        prop = "charge" if model_name == "TIMED_Charge" else "polarity"
-        current = convert_seq_to_property(native_seq, prop)
-        st.subheader(f"Constrain {prop}")
-        if prop == "charge":
-            pos_sel = st.multiselect("Positive (+1) residues", residue_map,
-                                     [r for r, v in zip(residue_map, current) if v == 1])
-            neg_sel = st.multiselect("Negative (-1) residues", residue_map,
-                                     [r for r, v in zip(residue_map, current) if v == -1])
-            prop_map = np.zeros(len(residue_map), int)
-            prop_map[[residue_map.index(r) for r in pos_sel]] = 1
-            prop_map[[residue_map.index(r) for r in neg_sel]] = -1
-        else:
-            pol_sel = st.multiselect("Polar residues", residue_map,
-                                     [r for r, v in zip(residue_map, current) if v == 1])
-            prop_map = np.zeros(len(residue_map), int)
-            prop_map[[residue_map.index(r) for r in pol_sel]] = 1
-        structure = modify_structure_with_property(structure, prop_map, prop)
+def _draw_property_constraints(structure, native_seq, residue_map, prop):
+    """Polar/charge multiselects -> property map -> modified structure
+    (reference ui.py:797-831)."""
+    from .structure import convert_seq_to_property, modify_structure_with_property
 
-    # ---------------------------------------------------------- predict
-    model_arg: object = model_name
-    if use_h5:
-        h5 = models_dir / f"{model_name}.h5"
-        if h5.exists():
-            model_arg = str(h5)
-        else:
-            st.warning(f"{h5} not found; using randomly initialized {model_name}")
-    import time
-
-    from .engine import DesignSession
-
-    session_key = f"session::{model_arg}"
-    if session_key not in st.session_state:
-        st.session_state[session_key] = DesignSession(model_arg, codec=spec.codec)
-    t0 = time.perf_counter()
-    probs, fa = st.session_state[session_key].design(structure)
-    t_pred = time.perf_counter() - t0
-    rotamer = probs.shape[1] == 338
-    if rotamer:
-        from .constants import compress_rotamer_probs
-
-        probs20 = compress_rotamer_probs(probs)
+    current = convert_seq_to_property(native_seq, prop)
+    st.subheader(f"Constrain {prop}")
+    prop_map = np.zeros(len(residue_map), int)
+    if prop == "charge":
+        pos_sel = st.multiselect(
+            "Positive (+1) residues", residue_map,
+            [r for r, v in zip(residue_map, current) if v == 1])
+        neg_sel = st.multiselect(
+            "Negative (-1) residues", residue_map,
+            [r for r, v in zip(residue_map, current) if v == -1])
+        prop_map[[residue_map.index(r) for r in pos_sel]] = 1
+        prop_map[[residue_map.index(r) for r in neg_sel]] = -1
     else:
-        probs20 = probs
+        pol_sel = st.multiselect(
+            "Polar residues", residue_map,
+            [r for r, v in zip(residue_map, current) if v == 1])
+        prop_map[[residue_map.index(r) for r in pol_sel]] = 1
+    return modify_structure_with_property(structure, prop_map, prop), prop_map
+
+
+def _probability_heatmap(probs20, native_seq, rotamer_probs=None,
+                         rotamer_categories=None):
+    """Per-position probability heatmap, native residues circled — the
+    reference's altair mark_rect + 'Ori' overlay (ui.py:424-485), rendered
+    with matplotlib."""
+    import matplotlib.pyplot as plt
+
     from .constants import AA1
 
-    designed_seq = "".join(np.array(list(AA1))[probs20.argmax(1)])
-    timings = st.session_state[session_key].last_timings
-    st.success(
-        f"Designed {len(designed_seq)} residues in {t_pred:.2f}s "
-        f"(voxelisation {timings['voxelisation']:.2f}s, "
-        f"prediction {timings['prediction']:.2f}s)"
+    L = probs20.shape[0]
+    fig, ax = plt.subplots(figsize=(min(16, 3 + L * 0.14), 5))
+    im = ax.imshow(probs20.T * 100, aspect="auto", cmap="viridis",
+                   origin="upper")
+    ax.set_yticks(range(20), list(AA1))
+    ax.set_xlabel("Position")
+    ax.set_ylabel("Residue")
+    native_idx = [AA1.index(a) if a in AA1 else -1 for a in native_seq]
+    xs = [i for i, v in enumerate(native_idx) if v >= 0]
+    ys = [v for v in native_idx if v >= 0]
+    ax.scatter(xs, ys, s=18, facecolors="none", edgecolors="red",
+               linewidths=0.8, label="Original residue")
+    ax.legend(loc="upper right", fontsize=8)
+    fig.colorbar(im, label="Probability (%)")
+    st.pyplot(fig)
+    st.write('"Red circle" marks the residue in the original sequence.')
+    if rotamer_probs is not None:
+        with st.expander("See Predicted Probabilities (Very Large Chart)"):
+            fig2, ax2 = plt.subplots(figsize=(min(16, 3 + L * 0.14), 24))
+            im2 = ax2.imshow(rotamer_probs.T * 100, aspect="auto",
+                             cmap="viridis", origin="upper")
+            if rotamer_categories is not None:
+                step = max(1, len(rotamer_categories) // 60)
+                ax2.set_yticks(range(0, len(rotamer_categories), step),
+                               rotamer_categories[::step], fontsize=5)
+            ax2.set_xlabel("Position")
+            fig2.colorbar(im2, label="Probability (%)")
+            st.pyplot(fig2)
+
+
+def _position_explorer(probs, residue_map, categories):
+    """Selectbox position -> bar chart of that position's distribution
+    (reference ui.py:489-520)."""
+    import pandas as pd
+
+    labels = [f"({i}) {r}" for i, r in enumerate(residue_map)]
+    option = st.selectbox("Explore probabilities at specific positions:",
+                          labels)
+    idx = labels.index(option)
+    st.subheader(f"Probability Distribution at position {option}")
+    df = pd.DataFrame(
+        {"Probability": np.asarray(probs[idx], np.float64)}, index=categories
+    ).fillna(0.0)
+    st.bar_chart(df)
+
+
+def _residue_composition(native_seq, designed_seq):
+    """Native-vs-designed residue composition (reference ui.py:393-422)."""
+    import pandas as pd
+
+    from .constants import AA1
+
+    rows = {
+        "Original": [native_seq.count(a) for a in AA1],
+        "Designed": [designed_seq.count(a) for a in AA1],
+    }
+    st.write("Residue Composition")
+    st.bar_chart(pd.DataFrame(rows, index=list(AA1)))
+
+
+def _draw_output_section(model_name, probs, probs20, designed_seq,
+                         native_seq, residue_map, rotamer,
+                         per_state_seqs=None):
+    from .analyse import create_sequence_logo
+    from .analyse.structure_analysis import calculate_prediction_entropy
+    from .constants import AA1, ROTAMER_CATEGORIES, sequence_similarity
+    from .sample.metrics import sequence_metrics
+
+    st.subheader("Designed Sequence")
+    st.code(designed_seq, language=None)
+    if per_state_seqs and len(per_state_seqs) > 1:
+        with st.expander(f"Per-state designs ({len(per_state_seqs)} NMR states)"):
+            for i, s in enumerate(per_state_seqs):
+                st.code(f"state {i}: {s}", language=None)
+
+    real_m = np.array(sequence_metrics(native_seq))
+    pred_m = np.array(sequence_metrics(designed_seq))
+    names = ["Charge", "Isoelectric Point", "Molecular Weight",
+             "Mol. Ext. Coeff. @ 280 nm"]
+    st.write("Original Sequence Metrics")
+    for col, name, v in zip(st.columns(4), names, real_m):
+        col.metric(name, f"{v:.2f}")
+    st.write("Predicted Sequence Metrics")
+    for col, name, v, rv in zip(st.columns(4), names, pred_m, real_m):
+        col.metric(name, f"{v:.2f}", f"{v - rv:+.2f}")
+    identity = float(np.mean([a == b for a, b in zip(native_seq, designed_seq)]))
+    c1, _, c3, _ = st.columns(4)
+    c1.metric("Sequence Similarity",
+              f"{100 * sequence_similarity(native_seq, designed_seq):.2f} %")
+    c3.metric("Sequence Identity", f"{100 * identity:.2f} %")
+
+    _residue_composition(native_seq, designed_seq)
+
+    st.write("Predicted Probabilities")
+    _probability_heatmap(
+        probs20, native_seq,
+        rotamer_probs=probs if rotamer else None,
+        rotamer_categories=ROTAMER_CATEGORIES if rotamer else None,
+    )
+    categories = list(ROTAMER_CATEGORIES) if rotamer else list(AA1)
+    _position_explorer(probs, residue_map, categories)
+
+    st.subheader("Prediction entropy")
+    st.line_chart(calculate_prediction_entropy(probs20))
+    st.subheader("Sequence logo")
+    st.pyplot(create_sequence_logo(probs20))
+    st.download_button(
+        "Download probabilities CSV",
+        "\n".join(",".join(f"{v:.6f}" for v in row) for row in probs),
+        file_name=f"{model_name}.csv",
     )
 
-    # 3D structure view: py3Dmol when installed, CA-trace fallback otherwise
+
+def _draw_performance_section(designed_seq, native_seq):
+    import matplotlib.pyplot as plt
+
+    from .analyse import calculate_metrics
+    from .constants import AA1
+
+    m = calculate_metrics({"design": designed_seq}, {"design": native_seq})
+    st.write({k: v for k, v in m.items()
+              if k.startswith("accuracy") or k in ("precision", "recall")})
+    st.subheader("Prediction bias")
+    st.bar_chart(m["bias"])
+    st.subheader("Confusion matrix (design vs native)")
+    fig, ax = plt.subplots(figsize=(7, 6))
+    im = ax.imshow(m["unweighted_cm"], cmap="viridis", aspect="auto")
+    ax.set_xticks(range(20), list(AA1))
+    ax.set_yticks(range(20), list(AA1))
+    ax.set_xlabel("Designed")
+    ax.set_ylabel("Native")
+    fig.colorbar(im)
+    st.pyplot(fig)
+
+
+def _draw_optimisation_section(cfg, probs, native_seq, rotamer):
+    from .sample.metrics import sequence_metrics
+    from .sample.sampler import apply_temperature, sample_structure
+
+    if not cfg["do_mc"]:
+        st.info("Enable 'Optimize sequences using Monte Carlo' in the sidebar.")
+        return
+    import jax
+
+    p = apply_temperature(probs, cfg["temperature"])
+    samples = sample_structure(np.asarray(p), cfg["sample_n"],
+                               jax.random.key(0), rotamer_mode=rotamer)
+    ref = np.array(sequence_metrics(native_seq))
+    rows = []
+    for seq, ch, ip, mw_, ex in samples:
+        vals = np.array([ch, ip, mw_, ex])
+        mae = np.abs((vals - ref) / np.where(ref == 0, 1, ref)).sum()
+        rows.append((seq, ch, ip, mw_, ex, mae))
+    rows.sort(key=lambda r: r[-1])
+    st.write("Top samples by summed normalized metric MAE vs native "
+             "(reference ui.py:641-660):")
+    st.dataframe(
+        {"sequence": [r[0] for r in rows[:25]],
+         "charge": [r[1] for r in rows[:25]],
+         "pI": [r[2] for r in rows[:25]],
+         "MW": [r[3] for r in rows[:25]],
+         "MAE": [r[5] for r in rows[:25]]},
+    )
+
+
+def _draw_structure_view(structure):
+    """py3Dmol when installed, CA-trace fallback otherwise."""
     with st.expander("3D structure", expanded=False):
         try:
             import py3Dmol
@@ -192,73 +372,115 @@ def main(argv=None):  # noqa: C901 - UI flow
                 ax.set_aspect("equal")
             st.pyplot(fig)
 
-    # ---------------------------------------------------------- outputs
+
+# --------------------------------------------------------------------- main
+
+
+def main(argv=None):  # noqa: C901 - UI flow
+    if st is None:
+        raise SystemExit(
+            f"streamlit is required for the UI ({_STREAMLIT_ERR}). "
+            "Install streamlit, or use the CLI: python -m timed_design_tpu.cli.predict"
+        )
+    args = _parse_args(argv if argv is not None else sys.argv[1:])
+    models_dir = Path(args.path_to_models)
+
+    from .constants import AA1, compress_rotamer_probs
+    from .engine import DesignSession
+    from .models import MODEL_REGISTRY
+    from .structure import create_residue_map
+
+    st.set_page_config(page_title="TIMED-Design (TPU)", layout="wide")
+    st.title("TIMED-Design — TPU-native protein sequence design")
+
+    model_options = discover_models(models_dir)
+    cfg = _draw_sidebar(model_options)
+    if not cfg["run"]:
+        st.info("Upload a backbone (or give a PDB code) and press Design!")
+        return
+
+    states = _load_structures(cfg, args)
+    if states is None:
+        return
+    structure = states[0]
+    residue_map, native_seq = create_residue_map(structure)
+
+    model_name = cfg["model_name"]
+    spec = MODEL_REGISTRY.get(model_name)
+    prop = PROPERTY_MODELS.get(model_name)
+    if prop is not None:
+        new_states = []
+        for s in states:
+            modified, _ = _draw_property_constraints(
+                s, native_seq, residue_map, prop
+            )
+            new_states.append(modified)
+        states = new_states
+        structure = states[0]
+
+    h5_path = model_options.get(model_name)
+    model_arg: object = str(h5_path) if h5_path else model_name
+    if h5_path is None and not cfg["demo_random"]:
+        st.error(
+            f"No weights found for {model_name} under {models_dir} — place "
+            f"{model_name}.h5 there, or tick 'Demo mode (random weights)'."
+        )
+        return
+
+    import time
+
+    session_key = f"session::{model_arg}"
+    if session_key not in st.session_state:
+        try:
+            st.session_state[session_key] = DesignSession(
+                model_arg, codec=spec.codec if spec else None,
+                batch_size=args.batch_size,
+                allow_random_weights=cfg["demo_random"],
+            )
+        except ValueError as e:
+            st.error(str(e))
+            return
+    session = st.session_state[session_key]
+    if h5_path is None:
+        st.warning(f"Demo mode: {model_name} runs with RANDOM weights — "
+                   "outputs are not real designs.")
+
+    t0 = time.perf_counter()
+    per_state_probs = []
+    for s in states:
+        p, _fa = session.design(s)
+        per_state_probs.append(np.asarray(p))
+    probs = _nmr_consensus(per_state_probs)
+    t_pred = time.perf_counter() - t0
+
+    rotamer = probs.shape[1] == 338
+    probs20 = compress_rotamer_probs(probs) if rotamer else probs
+    aa = np.array(list(AA1))
+    designed_seq = "".join(aa[probs20.argmax(1)])
+    per_state_seqs = [
+        "".join(aa[(compress_rotamer_probs(p) if rotamer else p).argmax(1)])
+        for p in per_state_probs
+    ]
+    timings = session.last_timings
+    st.success(
+        f"Designed {len(designed_seq)} residues"
+        + (f" over {len(states)} NMR states" if len(states) > 1 else "")
+        + f" in {t_pred:.2f}s (last state: voxelisation "
+          f"{timings['voxelisation']:.2f}s, prediction "
+          f"{timings['prediction']:.2f}s)"
+    )
+
+    _draw_structure_view(structure)
+
     tab_out, tab_perf, tab_opt = st.tabs(["Design", "Performance", "Optimisation"])
     with tab_out:
-        st.code(designed_seq, language=None)
-        c, pi, mw, ext = sequence_metrics(designed_seq)
-        cols = st.columns(5)
-        cols[0].metric("Charge @pH7.4", f"{c:.2f}")
-        cols[1].metric("Isoelectric pt", f"{pi:.2f}")
-        cols[2].metric("MW (Da)", f"{mw:.0f}")
-        cols[3].metric("ε280", f"{ext:.0f}")
-        cols[4].metric("BLOSUM62 similarity",
-                       f"{100 * sequence_similarity(native_seq, designed_seq):.1f}%")
-        st.subheader("Probability heatmap")
-        st.line_chart(calculate_prediction_entropy(probs20))
-        st.dataframe(
-            {"position": residue_map, "native": list(native_seq),
-             "designed": list(designed_seq),
-             "p(designed)": probs20.max(1).round(3)},
-        )
-        st.subheader("Sequence logo")
-        st.pyplot(create_sequence_logo(probs20))
-        st.download_button("Download probabilities CSV",
-                           "\n".join(",".join(f"{v:.6f}" for v in row) for row in probs),
-                           file_name=f"{model_name}.csv")
+        _draw_output_section(model_name, probs, probs20, designed_seq,
+                             native_seq, residue_map, rotamer,
+                             per_state_seqs=per_state_seqs)
     with tab_perf:
-        m = calculate_metrics({"design": designed_seq}, {"design": native_seq})
-        st.write({k: v for k, v in m.items()
-                  if k.startswith("accuracy") or k in ("precision", "recall")})
-        st.subheader("Prediction bias")
-        st.bar_chart(m["bias"])
-        st.subheader("Confusion matrix (design vs native)")
-        import matplotlib.pyplot as plt
-
-        from .constants import AA1 as _AA1
-
-        fig_cm, ax_cm = plt.subplots(figsize=(7, 6))
-        im = ax_cm.imshow(m["unweighted_cm"], cmap="viridis", aspect="auto")
-        ax_cm.set_xticks(range(20), list(_AA1))
-        ax_cm.set_yticks(range(20), list(_AA1))
-        ax_cm.set_xlabel("Designed")
-        ax_cm.set_ylabel("Native")
-        fig_cm.colorbar(im)
-        st.pyplot(fig_cm)
+        _draw_performance_section(designed_seq, native_seq)
     with tab_opt:
-        if do_mc:
-            import jax
-
-            p = apply_temperature(probs, float(temperature))
-            samples = sample_structure(np.asarray(p), int(sample_n),
-                                       jax.random.key(0), rotamer_mode=rotamer)
-            ref = np.array(sequence_metrics(native_seq))
-            rows = []
-            for seq, ch, ip, mw_, ex in samples:
-                vals = np.array([ch, ip, mw_, ex])
-                mae = np.abs((vals - ref) / np.where(ref == 0, 1, ref)).sum()
-                rows.append((seq, ch, ip, mw_, ex, mae))
-            rows.sort(key=lambda r: r[-1])
-            st.write("Top samples by summed normalized metric MAE vs native:")
-            st.dataframe(
-                {"sequence": [r[0] for r in rows[:25]],
-                 "charge": [r[1] for r in rows[:25]],
-                 "pI": [r[2] for r in rows[:25]],
-                 "MW": [r[3] for r in rows[:25]],
-                 "MAE": [r[5] for r in rows[:25]]},
-            )
-        else:
-            st.info("Enable 'Optimise with MC sampling' in the sidebar.")
+        _draw_optimisation_section(cfg, probs, native_seq, rotamer)
 
 
 if __name__ == "__main__":
