@@ -155,3 +155,43 @@ def test_fasta_partition(tmp_path):
     assert len(list(folders[2].glob("*.fasta"))) == 1
     rec = read_fasta(folders[0] / "d0.fasta")
     assert rec == {"d0": "MKV"}
+
+
+def test_packing_density_reference_compat_ewm(ubq_pdb_gz):
+    """reference_compat=True reproduces the reference's running-(acc+b)/2
+    accumulation (analyse_utils.py:149-234); default is the arithmetic mean.
+    Decision recorded in PARITY.md §Deviations."""
+    from timed_design_tpu.analyse.structure_analysis import (
+        extract_packdensity_from_structure,
+    )
+    from timed_design_tpu.structure import load_pdb
+
+    s = load_pdb(ubq_pdb_gz)
+    mean = extract_packdensity_from_structure(s, atom_filter="backbone")
+    ewm = extract_packdensity_from_structure(
+        s, atom_filter="backbone", reference_compat=True
+    )
+    assert len(mean) == len(ewm) == 76
+    # CA-only filter: one atom per residue, the two aggregations coincide
+    ca_a = extract_packdensity_from_structure(s, atom_filter="ca")
+    ca_b = extract_packdensity_from_structure(
+        s, atom_filter="ca", reference_compat=True
+    )
+    assert ca_a == ca_b
+    # multi-atom filters differ (EWM overweights later atoms)...
+    assert mean != ewm
+    # ...and the EWM matches an explicit reimplementation on residue 0
+    import numpy as np
+
+    from timed_design_tpu.analyse.structure_analysis import (
+        structure_packing_density,
+    )
+
+    dens = structure_packing_density(s)
+    sel = s.res_index == 0
+    keep = np.isin(s.atom_names[sel], ["N", "CA", "C", "O"])
+    vals = dens[sel][keep]
+    acc = float(vals[0])
+    for v in vals[1:]:
+        acc = (acc + float(v)) / 2
+    assert ewm[0] == acc

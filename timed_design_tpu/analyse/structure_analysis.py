@@ -49,14 +49,21 @@ def structure_packing_density(
 
 
 def extract_packdensity_from_structure(
-    structure: Structure, atom_filter: str = "ca", radius: float = 7.0
+    structure: Structure,
+    atom_filter: str = "ca",
+    radius: float = 7.0,
+    reference_compat: bool = False,
 ) -> list[float]:
     """Per-residue packing density with the reference's filter semantics
-    (analyse_utils.py:149-234): 'ca' = CA atom only, 'backbone' = running
-    pairwise mean over N/CA/C/O, 'all' = running mean over non-H atoms.
+    (analyse_utils.py:149-234): 'ca' = CA atom only, 'backbone' = aggregate
+    over N/CA/C/O, 'all' = aggregate over non-H atoms.
 
-    The reference accumulates via repeated (a+b)/2 — an exponentially-
-    weighted mean; we keep the plain arithmetic mean (documented difference).
+    Aggregation (decision recorded in PARITY.md §Deviations): the reference
+    accumulates via repeated (acc+b)/2 — an exponentially-weighted mean that
+    overweights later atoms in file order. Default here is the plain
+    arithmetic mean (the fix); pass ``reference_compat=True`` to reproduce
+    the reference's numbers exactly (needed when comparing against its
+    published analyses).
     """
     if atom_filter == "backbone":
         filter_set = {"N", "CA", "C", "O"}
@@ -78,7 +85,15 @@ def extract_packdensity_from_structure(
             keep = np.isin(names, list(filter_set))
             vals = vals[keep]
         vals = vals[vals >= 0]
-        out.append(float(vals.mean()) if len(vals) else -1.0)
+        if not len(vals):
+            out.append(-1.0)
+        elif reference_compat:
+            acc = float(vals[0])
+            for v in vals[1:]:
+                acc = (acc + float(v)) / 2
+            out.append(acc)
+        else:
+            out.append(float(vals.mean()))
     return out
 
 

@@ -9,6 +9,7 @@ from .decode import DecodedPredictions, extract_sequences  # noqa: F401
 from .h5frames import (  # noqa: F401
     FrameBatchLoader,
     FrameDatasetMetadata,
+    convert_to_flat,
     create_flat_dataset_map,
     get_pdb_keys_to_filter,
 )

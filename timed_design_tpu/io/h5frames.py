@@ -73,6 +73,10 @@ def get_pdb_keys_to_filter(pdb_key_path: Path, file_extension: str = ".txt") -> 
     return keys
 
 
+def _is_flat_layout(f: h5py.File) -> bool:
+    return str(f.attrs.get("layout", "")) == "flat" and "frames" in f
+
+
 def create_flat_dataset_map(
     frame_dataset: Path,
     filter_list: t.Sequence[str] = (),
@@ -83,10 +87,29 @@ def create_flat_dataset_map(
     Reference behavior (utils.py:318-407): residues sorted numerically within
     each chain, uncommon residue labels remapped with a warning, blacklisted
     4-letter codes either rejected (error) or skipped (warning).
+
+    Flat-layout datasets (voxel/dataset.py `layout='flat'`) carry their map
+    in the `/index_*` columns — read directly, preserving row order.
     """
     entries: list[tuple[str, str, str, str]] = []
     pdbs: set[str] = set()
     with h5py.File(frame_dataset, "r") as f:
+        if _is_flat_layout(f):
+            cols = [
+                [v.decode() if isinstance(v, bytes) else str(v) for v in f[c][()]]
+                for c in ("index_pdb", "index_chain", "index_residue",
+                          "index_label")
+            ]
+            for pdb_code, chain, rid, label in zip(*cols):
+                if pdb_code[:4] in filter_list:
+                    if remove_blacklist_silently:
+                        continue
+                    raise ValueError(f"PDB code {pdb_code} is blacklisted.")
+                if label not in AA3:
+                    label = UNCOMMON_RESIDUE_DICT.get(label, label)
+                entries.append((pdb_code, chain, rid, label))
+                pdbs.add(pdb_code)
+            return DatasetMap(entries=entries), pdbs
         for pdb_code in f:
             if pdb_code[:4] in filter_list:
                 if remove_blacklist_silently:
@@ -168,14 +191,57 @@ class FrameBatchLoader:
                 y[i, AA3_TO_INT[label]] = 1.0
         return X, y, len(batch)
 
+    def _flat_rows(self, f: h5py.File) -> np.ndarray:
+        """Row index per dataset-map entry (identity when the map came from
+        the same flat file; a lookup when the user supplied a resumed or
+        reordered map)."""
+        key_to_row = {}
+        cols = [
+            [v.decode() if isinstance(v, bytes) else str(v) for v in f[c][()]]
+            for c in ("index_pdb", "index_chain", "index_residue")
+        ]
+        for row, key in enumerate(zip(*cols)):
+            key_to_row[key] = row
+        return np.array(
+            [key_to_row[(p, c, r)] for p, c, r, _ in self.entries], np.int64
+        )
+
+    def _read_batch_flat(
+        self, f: h5py.File, rows: np.ndarray, index: int
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        sel = rows[index * self.batch_size : (index + 1) * self.batch_size]
+        n = len(sel)
+        ds = f["frames"]
+        X = np.zeros((self.batch_size, *ds.shape[1:]), np.float32)
+        start = int(sel[0])
+        if n and np.array_equal(sel, np.arange(start, start + n)):
+            # contiguous run: single read_direct (~20k frames/s/core)
+            ds.read_direct(X[:n], np.s_[start : start + n])
+            labels = f["labels"][start : start + n]
+        else:  # arbitrary order: sorted fancy read, then un-sort
+            order = np.argsort(sel, kind="stable")
+            sorted_rows = sel[order]
+            tmp = ds[sorted_rows.tolist()]
+            X[order] = tmp
+            labels = np.zeros((n, 20), f["labels"].dtype)
+            labels[order] = f["labels"][sorted_rows.tolist()]
+        y = np.zeros((self.batch_size, 20), np.float32)
+        y[:n] = np.asarray(labels, np.float32)
+        return X, y, n
+
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
         def producer():
             with h5py.File(self.dataset_path, "r") as f:
-                for index in range(self.start_batch, self.n_batches):
-                    q.put(self._read_batch(f, index))
+                if _is_flat_layout(f):
+                    rows = self._flat_rows(f)
+                    for index in range(self.start_batch, self.n_batches):
+                        q.put(self._read_batch_flat(f, rows, index))
+                else:
+                    for index in range(self.start_batch, self.n_batches):
+                        q.put(self._read_batch(f, index))
             q.put(stop)
 
         th = threading.Thread(target=producer, daemon=True)
@@ -186,3 +252,47 @@ class FrameBatchLoader:
                 break
             yield item
         th.join()
+
+
+def convert_to_flat(
+    src: Path, dst: Path, chunk_rows: int = 512
+) -> Path:
+    """Convert an aposteriori tree-layout dataset to the flat fast layout.
+
+    One-time cost; afterwards batch loading runs ~40x faster on gzip tree
+    datasets (tiny per-residue compressed reads -> row-chunked read_direct).
+    Frame values and order are preserved exactly (the flat row order is the
+    create_flat_dataset_map order of the source).
+    """
+    src, dst = Path(src), Path(dst)
+    dmap, _ = create_flat_dataset_map(src)
+    with h5py.File(src, "r") as fin, h5py.File(dst, "w") as fout:
+        for k, v in fin.attrs.items():
+            fout.attrs[k] = v
+        fout.attrs["layout"] = "flat"
+        dims = tuple(int(x) for x in fin.attrs["frame_dims"])
+        n = len(dmap.entries)
+        frames = fout.create_dataset(
+            "frames", shape=(n, *dims), dtype=np.float32,
+            chunks=(min(chunk_rows, n), *dims),
+        )
+        labels = fout.create_dataset("labels", shape=(n, 20), dtype=np.int8)
+        str_t = h5py.string_dtype()
+        cols = {
+            name: fout.create_dataset(name, shape=(n,), dtype=str_t)
+            for name in ("index_pdb", "index_chain", "index_residue",
+                         "index_label")
+        }
+        for i, (pdb, chain, rid, label) in enumerate(dmap.entries):
+            node = fin[pdb][chain][rid]
+            frames[i] = node[()]
+            enc = node.attrs.get("encoded_residue")
+            if enc is not None:
+                labels[i] = np.asarray(enc, np.int8)
+            else:
+                labels[i, AA3_TO_INT[label]] = 1
+            cols["index_pdb"][i] = pdb
+            cols["index_chain"][i] = chain
+            cols["index_residue"][i] = rid
+            cols["index_label"][i] = label
+    return dst

@@ -95,6 +95,35 @@ class Structure:
     def sequence1(self) -> str:
         return "".join(c.sequence1() for c in self.chains)
 
+    def select_chain(self, chain_id: str) -> "Structure":
+        """Single-chain Structure with consistently sliced flat arrays.
+
+        Unlike hand-building a view with the full arrays and a one-chain
+        chain list (which breaks the coords/res_index invariant for any
+        caller that reads them), this re-bases res_index so the view is a
+        valid Structure in its own right.
+        """
+        target = None
+        start = 0  # std-residue offset of the chain in flat (file) order
+        for c in self.chains:
+            if c.chain_id == chain_id:
+                target = c
+                break
+            start += sum(1 for r in c.residues if r.is_standard_aa)
+        if target is None:
+            raise KeyError(f"no chain {chain_id!r} in {self.name}")
+        n_std = sum(1 for r in target.residues if r.is_standard_aa)
+        mask = (self.res_index >= start) & (self.res_index < start + n_std)
+        return Structure(
+            name=self.name,
+            chains=[target],
+            coords=self.coords[mask],
+            elements=self.elements[mask],
+            atom_names=self.atom_names[mask],
+            res_index=self.res_index[mask] - start,
+            bfactors=self.bfactors[mask],
+        )
+
     def backbone_arrays(self) -> dict[str, np.ndarray]:
         """(R, 3) coordinate array per backbone atom name, NaN where missing.
 

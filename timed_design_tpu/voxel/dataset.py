@@ -62,29 +62,48 @@ def make_frame_dataset(
     voxelise_all_states: bool = False,
     compression: bool = True,
     atom_filter: str = "backbone",
+    layout: str = "tree",
+    chunk_rows: int = 512,
 ) -> Path:
-    """Voxelize PDB files into an aposteriori-schema HDF5 frame dataset.
+    """Voxelize PDB files into an HDF5 frame dataset.
 
     The TPU-native equivalent of `aposteriori.make_frame_dataset`
     (reference ui.py:73-86): voxelization runs as one XLA program per
     structure instead of a host worker pool. ``voxelise_all_states`` keeps
     every NMR state as a separate group named ``<pdb>_<state>`` (the
     reference's multi-state consensus flow, README.md:84).
+
+    ``layout``:
+      * 'tree' (default) — the aposteriori pdb/chain/residue group schema
+        (utils.py:238-251), gzip per-residue datasets: interoperable with
+        reference tooling, but its many tiny compressed reads cap loading
+        at ~500 frames/s/core.
+      * 'flat' — this framework's fast format: one (N, V, V, V, C) float32
+        `/frames` dataset chunked ``chunk_rows`` deep + `/labels` +
+        `/index_*` arrays (same file attrs). Batch reads stream at
+        ~20k frames/s/core via `read_direct`, matching TPU compute rate.
+        Convert existing datasets with `timed_design_tpu.io.convert_to_flat`.
     """
     if isinstance(codec, str):
         codec = Codec.from_string(codec)
+    if layout not in ("tree", "flat"):
+        raise ValueError(f"layout must be 'tree' or 'flat', got {layout!r}")
     output_path = Path(output_path)
     comp = dict(compression="gzip") if compression else {}
+    dims = (voxels_per_side,) * 3 + (codec.n_channels,)
 
     with h5py.File(output_path, "w") as f:
         f.attrs["make_frame_dataset_ver"] = FRAME_DATASET_VER
-        f.attrs["frame_dims"] = (voxels_per_side,) * 3 + (codec.n_channels,)
+        f.attrs["frame_dims"] = dims
         f.attrs["atom_encoder"] = list(codec.channels)
         f.attrs["encode_cb"] = bool(encode_cb)
         f.attrs["atom_filter_fn"] = atom_filter
         f.attrs["residue_encoder"] = list(AA3)
         f.attrs["frame_edge_length"] = float(frame_edge_length)
         f.attrs["voxels_as_gaussian"] = bool(gaussian)
+        if layout == "flat":
+            f.attrs["layout"] = "flat"
+            writer = _FlatWriter(f, dims, chunk_rows)
 
         for path in structure_paths:
             structures = load_pdb(Path(path), all_states=voxelise_all_states)
@@ -95,6 +114,11 @@ def make_frame_dataset(
                     s, codec, voxels_per_side, frame_edge_length, gaussian,
                     encode_cb, atom_filter,
                 )
+                if layout == "flat":
+                    writer.append(
+                        s.name, frames, fa.chain_ids, fa.residue_ids, fa.labels
+                    )
+                    continue
                 grp = f.require_group(s.name)
                 for i in range(len(fa.labels)):
                     chain_grp = grp.require_group(fa.chain_ids[i])
@@ -106,3 +130,50 @@ def make_frame_dataset(
                     onehot[AA3_TO_INT[fa.labels[i]]] = 1
                     d.attrs["encoded_residue"] = onehot
     return output_path
+
+
+class _FlatWriter:
+    """Incremental writer for the flat layout: resizable row-chunked
+    `/frames` + `/labels` + string `/index_*` columns."""
+
+    def __init__(self, f: h5py.File, dims: tuple, chunk_rows: int):
+        self.f = f
+        self.frames = f.create_dataset(
+            "frames", shape=(0, *dims), maxshape=(None, *dims),
+            dtype=np.float32, chunks=(chunk_rows, *dims),
+        )
+        self.labels = f.create_dataset(
+            "labels", shape=(0, 20), maxshape=(None, 20), dtype=np.int8,
+            chunks=(max(chunk_rows * 16, 4096), 20),
+        )
+        str_t = h5py.string_dtype()
+        self.cols = {
+            name: f.create_dataset(
+                name, shape=(0,), maxshape=(None,), dtype=str_t,
+                chunks=(max(chunk_rows * 16, 4096),),
+            )
+            for name in ("index_pdb", "index_chain", "index_residue",
+                         "index_label")
+        }
+        self.n = 0
+
+    def append(self, pdb_name, frames, chain_ids, residue_ids, labels):
+        frames = np.asarray(frames, np.float32)
+        r = frames.shape[0]
+        onehot = np.zeros((r, 20), np.int8)
+        onehot[np.arange(r), [AA3_TO_INT[l] for l in labels]] = 1
+        new_n = self.n + r
+        self.frames.resize(new_n, axis=0)
+        self.frames[self.n : new_n] = frames
+        self.labels.resize(new_n, axis=0)
+        self.labels[self.n : new_n] = onehot
+        for name, values in (
+            ("index_pdb", [pdb_name] * r),
+            ("index_chain", [str(c) for c in chain_ids]),
+            ("index_residue", [str(x) for x in residue_ids]),
+            ("index_label", [str(l) for l in labels]),
+        ):
+            col = self.cols[name]
+            col.resize(new_n, axis=0)
+            col[self.n : new_n] = values
+        self.n = new_n
