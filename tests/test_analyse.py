@@ -195,3 +195,77 @@ def test_packing_density_reference_compat_ewm(ubq_pdb_gz):
     for v in vals[1:]:
         acc = (acc + float(v)) / 2
     assert ewm[0] == acc
+
+
+def test_analyse_cherrypicked(ubq_pdb_gz, tmp_path):
+    """Cherry-picked-design analysis on synthetic refold outputs: two
+    'models' refold 1ubq (one translated+rotated — RMSD 0 after alignment;
+    one CA-perturbed), plus saved prediction CSVs feeding entropy traces
+    (reference scripts/analyse_cherrypicked_samples_af2.py)."""
+    import gzip
+
+    import numpy as np
+
+    from timed_design_tpu.analyse import analyse_cherrypicked
+    from timed_design_tpu.io import save_prediction_csv, save_srb_datasetmap
+    from timed_design_tpu.io.h5frames import create_flat_dataset_map  # noqa: F401
+    from timed_design_tpu.structure import load_pdb
+
+    body = gzip.decompress(ubq_pdb_gz.read_bytes()).decode()
+
+    def perturb(text, shift):
+        out = []
+        for line in text.splitlines():
+            if line.startswith(("ATOM", "HETATM")):
+                x = float(line[30:38]) + shift
+                line = line[:30] + f"{x:8.3f}" + line[38:]
+            out.append(line)
+        return "\n".join(out) + "\n"
+
+    af2 = tmp_path / "af2"
+    for model, shift in (("TIMED", 10.0), ("ProDCoNN", 0.0)):
+        d = af2 / model
+        d.mkdir(parents=True)
+        (d / "1ubq_ranked_0.pdb").write_text(perturb(body, shift))
+    # jitter ProDCoNN's CAs so its RMSD is > 0
+    p = af2 / "ProDCoNN" / "1ubq_ranked_0.pdb"
+    lines = []
+    rng = np.random.default_rng(0)
+    for line in p.read_text().splitlines():
+        if line.startswith("ATOM") and line[12:16].strip() == "CA":
+            y = float(line[38:46]) + rng.normal(0, 0.3)
+            line = line[:38] + f"{y:8.3f}" + line[46:]
+        lines.append(line)
+    p.write_text("\n".join(lines) + "\n")
+
+    # prediction outputs for the entropy trace
+    preds = tmp_path / "preds"
+    preds.mkdir()
+    probs = rng.dirichlet(np.ones(20), size=76)
+    save_prediction_csv(probs, "TIMED", preds, float16=False)
+    from timed_design_tpu.io import DatasetMap
+
+    dmap = DatasetMap(entries=[("1ubq", "A", str(i + 1), "ALA")
+                               for i in range(76)])
+    save_srb_datasetmap(dmap, "TIMED", preds)
+
+    ref_plain = tmp_path / "1ubq.pdb"
+    ref_plain.write_text(body)
+    result = analyse_cherrypicked(
+        ref_plain, af2, pred_folder=preds, output_dir=tmp_path / "out"
+    )
+    assert result["models"] == ["ProDCoNN", "TIMED"]
+    # pure translation aligns exactly; jittered CAs do not
+    assert result["rmsd"]["TIMED"] == pytest.approx(0.0, abs=1e-4)
+    assert 0.05 < result["rmsd"]["ProDCoNN"] < 1.0
+    pp = result["per_position"]
+    assert pp["ca_deviation"].shape == (2, 76)
+    assert pp["plddt"].shape == (2, 76)
+    # entropy present for TIMED (has csv+txt), NaN for ProDCoNN (absent)
+    e = pp["entropy"]
+    assert np.isfinite(e[result["models"].index("TIMED")]).all()
+    assert np.isnan(e[result["models"].index("ProDCoNN")]).all()
+    out = tmp_path / "out"
+    assert (out / "1ubq_ca_deviation.png").exists()
+    assert (out / "1ubq_entropy.png").exists()
+    assert (out / "1ubq_cherrypicked.csv").exists()

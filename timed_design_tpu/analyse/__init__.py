@@ -3,6 +3,7 @@ from .af2 import (  # noqa: F401
     GDT_CUTOFFS,
     RefoldResult,
     analyse_af2_folder,
+    analyse_cherrypicked,
     analyse_refold,
     combined_property_table,
     make_af2_slurm_script,

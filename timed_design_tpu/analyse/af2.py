@@ -169,3 +169,131 @@ def combined_property_table(
             for r in refold_results
         ],
     }
+
+
+def analyse_cherrypicked(
+    reference_pdb: Path,
+    af2_models_dir: Path,
+    pred_folder: Path | None = None,
+    output_dir: Path | None = None,
+    ranked_glob: str = "**/*{code}*_ranked_0.pdb",
+) -> dict[str, t.Any]:
+    """Per-position comparison of one cherry-picked design across models.
+
+    Port of scripts/analyse_cherrypicked_samples_af2.py:1-174 semantics:
+    for every model's top-ranked AF2 refold of the design, trace per-position
+    (1) CA deviation after alignment, (2) AF2 pLDDT, (3) packing density,
+    and (4) prediction entropy from the model's saved ``{model}.csv`` +
+    ``{model}.txt`` in ``pred_folder``. The reference's RMSD step is a stub
+    returning random ints (its `_calculate_RMSD` is commented out); here the
+    alignment is a real Kabsch CA superposition.
+
+    Returns {"models", "rmsd", "per_position": {metric: (n_models, L)}}.
+    When ``output_dir`` is given, writes one line plot per metric plus a
+    combined long-format CSV.
+    """
+    from .structure_analysis import extract_prediction_entropy_to_dict
+
+    reference_pdb = Path(reference_pdb)
+    code = reference_pdb.name.split(".")[0]
+    paths = sorted(Path(af2_models_dir).glob(ranked_glob.format(code=code)))
+    if not paths:
+        raise FileNotFoundError(
+            f"no {ranked_glob.format(code=code)} under {af2_models_dir}"
+        )
+    ref = load_pdb(reference_pdb)
+    ref_ca = ref.backbone_arrays()["CA"]
+    L = ref_ca.shape[0]
+
+    models: list[str] = []
+    rmsd: dict[str, float] = {}
+    per_pos: dict[str, list[np.ndarray]] = {
+        "ca_deviation": [], "plddt": [], "packing_density": [],
+    }
+    for p in paths:
+        model = p.parent.name
+        models.append(model)
+        s = load_pdb(p)
+        ca = s.backbone_arrays()["CA"]
+        if ca.shape == ref_ca.shape and not np.isnan(ca).any():
+            aligned, r = superpose(ca, ref_ca)
+            dists = np.linalg.norm(aligned - ref_ca, axis=1)
+        else:  # degrade like analyse_af2_one_folder.py:56-62
+            r, dists = float("nan"), np.full(L, np.nan)
+        rmsd[model] = float(r)
+        per_pos["ca_deviation"].append(dists)
+        plddt = np.array(
+            [v for chain in extract_bfactor_from_structure(s) for v in chain],
+            np.float64,
+        )
+        per_pos["plddt"].append(_fit_length(plddt, L))
+        pack = np.array(
+            extract_packdensity_from_structure(s, atom_filter="ca"), np.float64
+        )
+        per_pos["packing_density"].append(_fit_length(pack, L))
+
+    if pred_folder is not None:
+        entropies = []
+        for model in models:
+            csv = Path(pred_folder) / f"{model}.csv"
+            txt = Path(pred_folder) / f"{model}.txt"
+            if not (csv.exists() and txt.exists()):
+                entropies.append(np.full(L, np.nan))
+                continue
+            by_pdb = extract_prediction_entropy_to_dict(
+                csv, txt, rotamer_mode="rot" in model
+            )
+            hit = next((v for k, v in by_pdb.items() if code in k), None)
+            entropies.append(
+                _fit_length(np.asarray(hit, np.float64), L)
+                if hit is not None else np.full(L, np.nan)
+            )
+        per_pos["entropy"] = entropies
+
+    result = {
+        "models": models,
+        "rmsd": rmsd,
+        "per_position": {k: np.stack(v) for k, v in per_pos.items()},
+    }
+    if output_dir is not None:
+        _write_cherrypicked_outputs(result, Path(output_dir), code)
+    return result
+
+
+def _fit_length(arr: np.ndarray, L: int) -> np.ndarray:
+    """NaN-pad/truncate to the reference length so models stay comparable."""
+    out = np.full(L, np.nan)
+    n = min(L, len(arr))
+    out[:n] = arr[:n]
+    return out
+
+
+def _write_cherrypicked_outputs(result: dict, output_dir: Path, code: str):
+    import csv
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    output_dir.mkdir(parents=True, exist_ok=True)
+    models = result["models"]
+    for metric, mat in result["per_position"].items():
+        fig, ax = plt.subplots(figsize=(10, 4.8))
+        for name, row in zip(models, mat):
+            ax.plot(row, label=name, linewidth=1)
+        ax.set_xlabel("Position")
+        ax.set_ylabel(metric)
+        ax.set_title(f"{metric} — {code}")
+        ax.legend(bbox_to_anchor=(1.05, 1), loc=2, borderaxespad=0.0,
+                  fontsize=7)
+        fig.tight_layout()
+        fig.savefig(output_dir / f"{code}_{metric}.png", dpi=120)
+        plt.close(fig)
+    with open(output_dir / f"{code}_cherrypicked.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["model", "metric", "position", "value"])
+        for metric, mat in result["per_position"].items():
+            for name, row in zip(models, mat):
+                for i, v in enumerate(row):
+                    w.writerow([name, metric, i, f"{v:.6g}"])
