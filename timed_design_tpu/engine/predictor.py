@@ -71,12 +71,21 @@ class Predictor:
         model: t.Union[KerasH5Model, tuple],
         batch_size: int = 512,
         mesh=None,
+        transfer_dtype=None,
     ):
-        """``model``: a KerasH5Model, or ``(flax_module, variables)``."""
+        """``model``: a KerasH5Model, or ``(flax_module, variables)``.
+
+        ``transfer_dtype``: host->device frame dtype. Set to ``jnp.bfloat16``
+        when the model computes in bf16 — the values are identical to the
+        model's own on-device input cast, but the wire carries half the
+        bytes (2x e2e on transfer-bound links; this dev tunnel moves
+        ~32 MB/s, so it dominates there).
+        """
         self.mesh = mesh if mesh is not None else make_mesh()
         n_data = self.mesh.shape["data"]
         # round batch up so it splits evenly across the data axis
         self.batch_size = -(-batch_size // n_data) * n_data
+        self._transfer_dtype = transfer_dtype
 
         if isinstance(model, KerasH5Model):
             fn = model.apply
@@ -94,20 +103,60 @@ class Predictor:
             out_shardings=self._sharding,
         )
 
+    def _dispatch(self, chunk: np.ndarray):
+        """Pad + device_put + launch; returns the (async) device result."""
+        n = chunk.shape[0]
+        if n < self.batch_size:
+            chunk = np.concatenate(
+                [chunk,
+                 np.zeros((self.batch_size - n, *chunk.shape[1:]), chunk.dtype)]
+            )
+        dt = self._transfer_dtype
+        x = jax.device_put(
+            jnp.asarray(chunk) if dt is None else jnp.asarray(chunk, dt),
+            self._sharding,
+        )
+        return self._fn(self.params, x)
+
+    def predict_stream(
+        self,
+        batches: t.Iterable[tuple[np.ndarray, int]],
+        max_in_flight: int = 8,
+    ) -> t.Iterator[np.ndarray]:
+        """Pipelined prediction over an iterable of (frames, n_valid).
+
+        Dispatches up to ``max_in_flight`` batches before fetching the
+        oldest result, so host->device transfer, MXU compute, and the
+        result fetch all overlap — a synchronous fetch per batch would
+        serialize the link RTT into every step (the reference's per-batch
+        `model.predict` pattern, predict.py:142). Yields (n_valid,
+        n_classes) arrays in input order.
+        """
+        from collections import deque
+
+        pending: deque = deque()
+        for frames, n_valid in batches:
+            pending.append((self._dispatch(frames), n_valid))
+            if len(pending) >= max_in_flight:
+                out, n = pending.popleft()
+                yield np.asarray(out)[:n]
+        while pending:
+            out, n = pending.popleft()
+            yield np.asarray(out)[:n]
+
     def predict_probs(self, frames: np.ndarray) -> np.ndarray:
         """Predict (N, n_classes) for any N — pads to the compiled batch."""
-        N = frames.shape[0]
-        out = np.empty((N, self.n_classes), np.float32)
-        for start in range(0, N, self.batch_size):
-            chunk = frames[start : start + self.batch_size]
-            n = chunk.shape[0]
-            if n < self.batch_size:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((self.batch_size - n, *chunk.shape[1:]), chunk.dtype)]
-                )
-            x = jax.device_put(jnp.asarray(chunk), self._sharding)
-            out[start : start + n] = np.asarray(self._fn(self.params, x))[:n]
-        return out
+        B = self.batch_size
+        chunks = (
+            (frames[s : s + B], min(B, frames.shape[0] - s))
+            for s in range(0, frames.shape[0], B)
+        )
+        parts = list(self.predict_stream(chunks))
+        return (
+            np.concatenate(parts)
+            if parts
+            else np.empty((0, self.n_classes), np.float32)
+        )
 
 
 def _resolve_model(m, compute_dtype=None, allow_random_weights=False):
@@ -216,17 +265,24 @@ def load_dataset_and_predict(
             allow_random_weights=allow_random_weights,
         )
         model_name += model_name_suffix
-        predictor = Predictor(model, batch_size=batch_size, mesh=mesh)
+        predictor = Predictor(
+            model, batch_size=batch_size, mesh=mesh,
+            transfer_dtype=compute_dtype,
+        )
 
         loader = FrameBatchLoader(
             dataset_path, dmap, batch_size=predictor.batch_size, start_batch=start_batch
         )
-        probs_parts, labels_parts = [], []
-        with timer.phase("predict"):
+        labels_parts: list[np.ndarray] = []
+
+        def batches():
             for X, y, n_valid in loader:
-                p = predictor.predict_probs(X[:n_valid])
-                probs_parts.append(p)
                 labels_parts.append(y[:n_valid])
+                yield X[:n_valid], n_valid
+
+        with timer.phase("predict"):
+            # pipelined: loader prefetch, H2D, compute, and fetch overlap
+            probs_parts = list(predictor.predict_stream(batches()))
         probs = np.concatenate(probs_parts) if probs_parts else np.zeros((0, 20))
         y_true = np.concatenate(labels_parts) if labels_parts else np.zeros((0, 20))
 

@@ -48,16 +48,31 @@ def shard_work_for_host(items: t.Sequence, process_index: int | None = None,
 
 def gather_host_arrays(local: np.ndarray) -> np.ndarray:
     """All-gather per-host result arrays (e.g. probability shards) to every
-    host over DCN. Single-process: identity."""
+    host over DCN, concatenated in process order. Single-process: identity.
+
+    Handles RAGGED shards: `shard_work_for_host` hands hosts uneven work
+    (e.g. 5 structures over 2 hosts), and a bare `process_allgather` of
+    unequal-length arrays crashes gloo with a payload-size mismatch — so
+    lengths gather first, shards pad to the max, and padding is sliced off
+    after the collective.
+    """
     import jax
 
+    local = np.asarray(local)
     if jax.process_count() == 1:
-        return np.asarray(local)
+        return local
     from jax.experimental import multihost_utils
 
-    return np.asarray(
-        multihost_utils.process_allgather(np.asarray(local), tiled=True)
-    )
+    counts = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([local.shape[0]]), tiled=True
+        )
+    ).ravel()
+    m = int(counts.max())
+    padded = np.zeros((m, *local.shape[1:]), local.dtype)
+    padded[: local.shape[0]] = local
+    g = np.asarray(multihost_utils.process_allgather(padded, tiled=False))
+    return np.concatenate([g[i, : int(c)] for i, c in enumerate(counts)])
 
 
 def barrier(name: str = "sync") -> None:
