@@ -227,3 +227,12 @@ def test_flat_loader_start_batch_resume(ubq_flat_h5):
     )
     assert len(full) == 3 and len(resumed) == 1
     np.testing.assert_array_equal(full[2][0], resumed[0][0])
+
+
+def test_convert_dataset_cli(ubq_h5, tmp_path, monkeypatch):
+    from timed_design_tpu.cli.convert_dataset import main as convert_main
+
+    dst = tmp_path / "flat.hdf5"
+    convert_main([str(ubq_h5), str(dst)])
+    dm, _ = create_flat_dataset_map(dst)
+    assert len(dm.entries) == 76
