@@ -90,6 +90,11 @@ def calculate_rotamer_metrics(
             continue
         y_pred_parts.append(np.asarray(prob))
         y_true_parts.append(rot)
+    if not y_pred_parts:
+        raise ValueError(
+            "No structure overlaps between predictions and rotamer tags — "
+            "every structure was missing or length-mismatched."
+        )
     y_pred = np.concatenate(y_pred_parts).reshape(-1, N_ROTAMER_CLASSES)
     y_true = np.concatenate(y_true_parts).ravel()
     keep = ~np.isnan(y_true)

@@ -83,10 +83,13 @@ def main(argv=None) -> None:
         if (out / f"{pdb}__pred.pdb").exists()
     }
     tags_pred, _ = tag_structures_with_rotamers(packed_paths)
-    m2 = calculate_rotamer_metrics(
-        decoded.pdb_to_probability, tags_pred, suffix="scwrl_pred", output_path=out
-    )
-    print(f"[scwrl-pred] top-1 {m2['accuracy']:.4f}")
+    if tags_pred:
+        m2 = calculate_rotamer_metrics(
+            decoded.pdb_to_probability, tags_pred, suffix="scwrl_pred", output_path=out
+        )
+        print(f"[scwrl-pred] top-1 {m2['accuracy']:.4f}")
+    else:
+        print("[scwrl-pred] skipped: SCWRL packed no predicted sequences")
 
     scores_real, _ = analyse_with_scwrl(
         decoded.pdb_to_real_sequence, assemblies, out, "_real",
@@ -97,10 +100,13 @@ def main(argv=None) -> None:
         if (out / f"{pdb}__real.pdb").exists()
     }
     tags_real, _ = tag_structures_with_rotamers(packed_real)
-    m3 = calculate_rotamer_metrics(
-        decoded.pdb_to_probability, tags_real, suffix="scwrl_real", output_path=out
-    )
-    print(f"[scwrl-real] top-1 {m3['accuracy']:.4f}")
+    if tags_real:
+        m3 = calculate_rotamer_metrics(
+            decoded.pdb_to_probability, tags_real, suffix="scwrl_real", output_path=out
+        )
+        print(f"[scwrl-real] top-1 {m3['accuracy']:.4f}")
+    else:
+        print("[scwrl-real] skipped: SCWRL packed no wild-type sequences")
 
     with open(out / "scwrl_scores.csv", "w") as f:
         f.write("pdb,score_pred,score_real\n")
