@@ -183,3 +183,39 @@ def test_distributed_helpers_single_host():
     x = np.arange(6.0).reshape(2, 3)
     np.testing.assert_array_equal(gather_host_arrays(x), x)
     barrier()
+
+
+@pytest.mark.slow
+def test_overfit_1ubq_frames_learns_residue_signal(tmp_path, ubq_pdb_gz):
+    """Scientific end-to-end regression: frames voxelized by THIS framework
+    carry residue-identifying signal. Overfitting 32 1ubq frames must lift
+    train top-1 far above chance (1/20) within 75 steps — if the voxelizer
+    or loader ever misaligned frames and labels, accuracy would pin at the
+    majority-class rate and this fails. (Measured here: 0.06 -> ~0.45.)"""
+    import optax
+
+    from timed_design_tpu.io import FrameBatchLoader, create_flat_dataset_map
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    h5 = make_frame_dataset(
+        [ubq_pdb_gz], tmp_path / "ofit.hdf5", codec="CNOCACB", layout="flat"
+    )
+    dmap, _ = create_flat_dataset_map(h5)
+    X, y, _ = next(iter(FrameBatchLoader(h5, dmap, batch_size=76)))
+    X, y = jnp.asarray(X[:32]), jnp.asarray(y[:32])
+
+    module = timed(filters=(8, 16))
+    opt = optax.adam(5e-3)
+    state, _ = init_train_state(
+        module, jax.random.key(0), (1, 21, 21, 21, 5), opt, None
+    )
+    step = jax.jit(make_train_step(module, opt))
+    rng = jax.random.key(1)
+    first_loss = None
+    for _ in range(75):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, X, y, sub)
+        if first_loss is None:
+            first_loss = float(m["loss"])
+    assert float(m["top1"]) >= 0.3, float(m["top1"])
+    assert float(m["loss"]) < first_loss - 0.8
