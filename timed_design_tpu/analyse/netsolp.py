@@ -90,8 +90,13 @@ def annotate_samples_with_netsolp(
             f, fieldnames=list(rows[0].keys()) + metric_keys if rows else metric_keys
         )
         writer.writeheader()
-        for i, row in enumerate(rows):
-            sid = f"{row['pdb']}_{i}"
-            row.update(scores.get(sid, {}))
+        # fasta ids are {pdb}_{i} with i counting per pdb (io/writers.py
+        # save_sampled), while the metrics CSV repeats the bare pdb per
+        # sample row — rebuild per-pdb sample indices for the join
+        per_pdb_counter: dict[str, int] = {}
+        for row in rows:
+            i = per_pdb_counter.get(row["pdb"], 0)
+            per_pdb_counter[row["pdb"]] = i + 1
+            row.update(scores.get(f"{row['pdb']}_{i}", {}))
             writer.writerow(row)
     return out_path
