@@ -236,3 +236,91 @@ def test_convert_dataset_cli(ubq_h5, tmp_path, monkeypatch):
     convert_main([str(ubq_h5), str(dst)])
     dm, _ = create_flat_dataset_map(dst)
     assert len(dm.entries) == 76
+
+
+# ------------------------------------------------------ native inflate pool
+
+
+def test_inflate_many_native_matches_zlib():
+    import zlib
+
+    from timed_design_tpu.io.fast_inflate import inflate_many, native_available
+
+    rng = np.random.default_rng(0)
+    arrays = [rng.random((21, 21, 21, 5)).astype(np.float32) for _ in range(7)]
+    srcs = [zlib.compress(a.tobytes()) for a in arrays]
+    dsts = [np.empty_like(a) for a in arrays]
+    inflate_many(srcs, dsts)
+    for a, d in zip(arrays, dsts):
+        np.testing.assert_array_equal(a, d)
+    assert native_available()  # g++ + zlib are in-image; pool must build
+
+    with pytest.raises(ValueError):
+        inflate_many([b"not a zlib stream"], [np.empty(4, np.float32)])
+
+
+def test_loader_native_inflate_matches_h5py(ubq_h5):
+    """Tree-layout batches via the raw-chunk + native-inflate path must be
+    bit-identical to plain h5py reads."""
+    dmap, _ = create_flat_dataset_map(ubq_h5)
+    fast = list(FrameBatchLoader(ubq_h5, dmap, batch_size=32))
+    plain = list(
+        FrameBatchLoader(ubq_h5, dmap, batch_size=32, native_inflate=False)
+    )
+    assert len(fast) == len(plain) == 3
+    for (Xf, yf, nf), (Xp, yp, np_) in zip(fast, plain):
+        assert nf == np_
+        np.testing.assert_array_equal(Xf, Xp)
+        np.testing.assert_array_equal(yf, yp)
+
+
+def test_loader_raw_chunk_path_actually_engages(ubq_h5, tmp_path):
+    """Guard against the fast path silently degrading to h5py reads."""
+    import h5py
+
+    with h5py.File(ubq_h5) as f:
+        pdb = next(iter(f))
+        chain = next(iter(f[pdb]))
+        rid = next(iter(f[pdb][chain]))
+        node = f[pdb][chain][rid]
+        raws = FrameBatchLoader._raw_gzip_chunks(node)
+        assert raws is not None
+        assert sum(len(r) for _, r in raws) < node.nbytes  # actually compressed
+        # our writer emits one whole-frame chunk
+        assert len(raws) == 1 and raws[0][0] == (0, 0, 0, 0)
+    # uncompressed dataset -> no raw path
+    with h5py.File(tmp_path / "nocomp.hdf5", "w") as f:
+        d = f.create_dataset("x", data=np.zeros((4, 4), np.float32))
+        assert FrameBatchLoader._raw_gzip_chunks(d) is None
+
+
+def test_loader_native_inflate_multichunk_autochunked(tmp_path, ubq_h5):
+    """Foreign files (h5py/aposteriori auto-chunking splits one frame into
+    ~32 chunks, incl. clipped edge chunks) must read identically through
+    the multi-chunk assembly path."""
+    import h5py
+
+    dst = tmp_path / "auto.hdf5"
+    with h5py.File(ubq_h5) as fin, h5py.File(dst, "w") as fout:
+        for k, v in fin.attrs.items():
+            fout.attrs[k] = v
+        for pdb in fin:
+            for ch in fin[pdb]:
+                for rid in fin[pdb][ch]:
+                    node = fin[pdb][ch][rid]
+                    d = fout.create_dataset(
+                        f"{pdb}/{ch}/{rid}", data=node[()], compression="gzip"
+                    )  # default auto-chunking -> multi-chunk
+                    for k, v in node.attrs.items():
+                        d.attrs[k] = v
+    with h5py.File(dst) as f:
+        node = f["1ubq"]["A"]["1"]
+        assert len(FrameBatchLoader._raw_gzip_chunks(node)) > 1
+    dmap, _ = create_flat_dataset_map(dst)
+    fast_loader = FrameBatchLoader(dst, dmap, batch_size=32)
+    fast_loader._native_multichunk = True  # engages only on >2-core hosts
+    fast = list(fast_loader)
+    plain = list(FrameBatchLoader(dst, dmap, batch_size=32, native_inflate=False))
+    for (Xf, yf, _), (Xp, yp, _) in zip(fast, plain):
+        np.testing.assert_array_equal(Xf, Xp)
+        np.testing.assert_array_equal(yf, yp)

@@ -123,7 +123,11 @@ def make_frame_dataset(
                 for i in range(len(fa.labels)):
                     chain_grp = grp.require_group(fa.chain_ids[i])
                     d = chain_grp.create_dataset(
-                        str(fa.residue_ids[i]), data=frames[i], **comp
+                        str(fa.residue_ids[i]), data=frames[i],
+                        # one chunk per frame: single raw-chunk read on the
+                        # loader's native-inflate fast path
+                        **({"chunks": frames[i].shape} if comp else {}),
+                        **comp,
                     )
                     d.attrs["label"] = fa.labels[i]
                     onehot = np.zeros(20, np.int64)
