@@ -324,3 +324,63 @@ def test_loader_native_inflate_multichunk_autochunked(tmp_path, ubq_h5):
     for (Xf, yf, _), (Xp, yp, _) in zip(fast, plain):
         np.testing.assert_array_equal(Xf, Xp)
         np.testing.assert_array_equal(yf, yp)
+
+
+def test_inflate_many_concurrent_callers():
+    """inflate_pool_run must be reentrancy-safe: concurrent loader producer
+    threads in one process share the module-global pool."""
+    import threading
+    import zlib
+
+    from timed_design_tpu.io.fast_inflate import inflate_many
+
+    rng = np.random.default_rng(1)
+    arrays = [rng.random((21, 21, 21, 5)).astype(np.float32) for _ in range(8)]
+    srcs = [zlib.compress(a.tobytes()) for a in arrays]
+    errors = []
+
+    def work():
+        try:
+            for _ in range(20):
+                dsts = [np.empty_like(a) for a in arrays]
+                inflate_many(srcs, dsts)
+                for a, d in zip(arrays, dsts):
+                    np.testing.assert_array_equal(a, d)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=work) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive(), "inflate pool deadlocked"
+    assert not errors, errors
+
+
+def test_loader_surfaces_producer_errors(ubq_flat_h5):
+    """A dataset-map entry absent from the flat file must raise in the
+    consumer, not hang it (the producer thread dies otherwise)."""
+    dmap, _ = create_flat_dataset_map(ubq_flat_h5)
+    bad = DatasetMap(entries=dmap.entries + [("zzzz", "Z", "1", "ALA")])
+    with pytest.raises(KeyError):
+        list(FrameBatchLoader(ubq_flat_h5, bad, batch_size=32))
+
+
+def test_flat_rows_identity_fast_path(ubq_flat_h5):
+    """Maps from create_flat_dataset_map carry row-identity provenance; the
+    loader must use arange instead of the O(N) key dict."""
+    import h5py
+
+    dmap, _ = create_flat_dataset_map(ubq_flat_h5)
+    assert dmap.row_identity_for == str(ubq_flat_h5.resolve())
+    loader = FrameBatchLoader(ubq_flat_h5, dmap, batch_size=32)
+    with h5py.File(ubq_flat_h5) as f:
+        rows = loader._flat_rows(f)
+    np.testing.assert_array_equal(rows, np.arange(76))
+    # a reordered user map loses provenance -> lookup path
+    rev = DatasetMap(entries=list(reversed(dmap.entries)))
+    loader2 = FrameBatchLoader(ubq_flat_h5, rev, batch_size=32)
+    with h5py.File(ubq_flat_h5) as f:
+        rows2 = loader2._flat_rows(f)
+    np.testing.assert_array_equal(rows2, np.arange(76)[::-1])

@@ -205,14 +205,23 @@ def analyse_cherrypicked(
     ref_ca = ref.backbone_arrays()["CA"]
     L = ref_ca.shape[0]
 
+    # model label = parent dir name (reference convention); disambiguate
+    # collisions (two ranked files in one dir, or same-named dirs under
+    # different parents) with the file stem so no trace is silently dropped
     models: list[str] = []
+    seen: dict[str, int] = {}
+    for p in paths:
+        label = p.parent.name
+        if label in seen:
+            label = f"{label}/{p.stem}"
+        seen[p.parent.name] = seen.get(p.parent.name, 0) + 1
+        models.append(label)
+
     rmsd: dict[str, float] = {}
     per_pos: dict[str, list[np.ndarray]] = {
         "ca_deviation": [], "plddt": [], "packing_density": [],
     }
-    for p in paths:
-        model = p.parent.name
-        models.append(model)
+    for model, p in zip(models, paths):
         s = load_pdb(p)
         ca = s.backbone_arrays()["CA"]
         if ca.shape == ref_ca.shape and not np.isnan(ca).any():

@@ -26,6 +26,10 @@ class DatasetMap:
     entries: list[tuple[str, str, str, str]] | None = None
     # new format: [(pdb_chain, count)]
     counts: list[tuple[str, int]] | None = None
+    # provenance: resolved path of the flat-layout dataset whose row order
+    # these entries ARE (set by create_flat_dataset_map) — lets the loader
+    # skip the O(N) string-keyed row lookup for the dominant identity case
+    row_identity_for: str | None = None
 
     @property
     def is_old(self) -> bool:

@@ -45,6 +45,17 @@ def _category_letters(rotamer_categories: t.Sequence[str] | None) -> list[str]:
     return [AA3_TO_AA1[c.split("_")[0]] for c in rotamer_categories]
 
 
+def consensus_running_average(per_state_probs) -> np.ndarray:
+    """The reference's NMR consensus accumulation: running pairwise average
+    consensus = (consensus + cur)/2, NOT the arithmetic mean — later states
+    are overweighted exactly as in utils.py:694-713. Shared by the engine
+    decode path and the UI multi-state flow."""
+    acc = np.array(per_state_probs[0])
+    for prob in per_state_probs[1:]:
+        acc = (acc + np.array(prob)) / 2
+    return acc
+
+
 def extract_sequences(
     dmap: DatasetMap,
     prediction_matrix: np.ndarray,
@@ -96,15 +107,15 @@ def extract_sequences(
 
     # NMR consensus: running pairwise average over states sharing a base code
     # (reference utils.py:694-713 — including its (prev+cur)/2 weighting).
-    pdb_to_consensus_prob: dict[str, np.ndarray] = {}
+    by_base: dict[str, list[np.ndarray]] = {}
     for pdb_chain in pdb_to_sequence:
-        base = pdb_chain.split("_")[0]
-        if base not in pdb_to_consensus_prob:
-            pdb_to_consensus_prob[base] = np.array(pdb_to_probability[pdb_chain])
-        else:
-            pdb_to_consensus_prob[base] = (
-                pdb_to_consensus_prob[base] + np.array(pdb_to_probability[pdb_chain])
-            ) / 2
+        by_base.setdefault(pdb_chain.split("_")[0], []).append(
+            np.array(pdb_to_probability[pdb_chain])
+        )
+    pdb_to_consensus_prob = {
+        base: consensus_running_average(probs)
+        for base, probs in by_base.items()
+    }
     pdb_to_consensus = {
         base: "".join(letters[prob.argmax(axis=1)])
         for base, prob in pdb_to_consensus_prob.items()

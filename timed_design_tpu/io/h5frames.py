@@ -100,16 +100,25 @@ def create_flat_dataset_map(
                 for c in ("index_pdb", "index_chain", "index_residue",
                           "index_label")
             ]
+            filtered_any = False
             for pdb_code, chain, rid, label in zip(*cols):
                 if pdb_code[:4] in filter_list:
                     if remove_blacklist_silently:
+                        filtered_any = True
                         continue
                     raise ValueError(f"PDB code {pdb_code} is blacklisted.")
                 if label not in AA3:
                     label = UNCOMMON_RESIDUE_DICT.get(label, label)
                 entries.append((pdb_code, chain, rid, label))
                 pdbs.add(pdb_code)
-            return DatasetMap(entries=entries), pdbs
+            return DatasetMap(
+                entries=entries,
+                # entry order == row order only when nothing was filtered
+                row_identity_for=(
+                    None if filtered_any
+                    else str(Path(frame_dataset).resolve())
+                ),
+            ), pdbs
         for pdb_code in f:
             if pdb_code[:4] in filter_list:
                 if remove_blacklist_silently:
@@ -171,6 +180,7 @@ class FrameBatchLoader:
         assert dmap.is_old, "FrameBatchLoader requires a per-residue dataset map"
         self.dataset_path = Path(dataset_path)
         self.entries = dmap.entries
+        self._dmap_identity_for = dmap.row_identity_for
         self.batch_size = batch_size
         self.start_batch = start_batch
         self.prefetch = prefetch
@@ -298,6 +308,12 @@ class FrameBatchLoader:
         """Row index per dataset-map entry (identity when the map came from
         the same flat file; a lookup when the user supplied a resumed or
         reordered map)."""
+        if (
+            self._dmap_identity_for is not None
+            and self._dmap_identity_for == str(self.dataset_path.resolve())
+            and len(self.entries) == f["frames"].shape[0]
+        ):
+            return np.arange(len(self.entries), dtype=np.int64)
         key_to_row = {}
         cols = [
             [v.decode() if isinstance(v, bytes) else str(v) for v in f[c][()]]
@@ -337,14 +353,22 @@ class FrameBatchLoader:
         stop = object()
 
         def producer():
-            with h5py.File(self.dataset_path, "r") as f:
-                if _is_flat_layout(f):
-                    rows = self._flat_rows(f)
-                    for index in range(self.start_batch, self.n_batches):
-                        q.put(self._read_batch_flat(f, rows, index))
-                else:
-                    for index in range(self.start_batch, self.n_batches):
-                        q.put(self._read_batch(f, index))
+            # ANY producer failure must reach the consumer — dying without
+            # enqueueing a sentinel would leave the consumer blocked in
+            # q.get() forever (e.g. a dataset-map entry absent from the
+            # flat file raising KeyError in _flat_rows).
+            try:
+                with h5py.File(self.dataset_path, "r") as f:
+                    if _is_flat_layout(f):
+                        rows = self._flat_rows(f)
+                        for index in range(self.start_batch, self.n_batches):
+                            q.put(self._read_batch_flat(f, rows, index))
+                    else:
+                        for index in range(self.start_batch, self.n_batches):
+                            q.put(self._read_batch(f, index))
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                q.put(("__producer_error__", e))
+                return
             q.put(stop)
 
         th = threading.Thread(target=producer, daemon=True)
@@ -353,6 +377,9 @@ class FrameBatchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__producer_error__":
+                th.join()
+                raise item[1]
             yield item
         th.join()
 

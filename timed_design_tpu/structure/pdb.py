@@ -43,6 +43,9 @@ class Residue:
     elements: list[str]
     bfactors: np.ndarray  # (n_atoms,)
     is_standard_aa: bool
+    # position of this residue in the Structure's flat std-residue order
+    # (file encounter order); None for non-standard residues
+    std_index: int | None = None
 
     @property
     def id(self) -> str:
@@ -103,24 +106,28 @@ class Structure:
         caller that reads them), this re-bases res_index so the view is a
         valid Structure in its own right.
         """
-        target = None
-        start = 0  # std-residue offset of the chain in flat (file) order
-        for c in self.chains:
-            if c.chain_id == chain_id:
-                target = c
-                break
-            start += sum(1 for r in c.residues if r.is_standard_aa)
+        target = next(
+            (c for c in self.chains if c.chain_id == chain_id), None
+        )
         if target is None:
             raise KeyError(f"no chain {chain_id!r} in {self.name}")
-        n_std = sum(1 for r in target.residues if r.is_standard_aa)
-        mask = (self.res_index >= start) & (self.res_index < start + n_std)
+        # exact per-residue std indices recorded at parse time — correct
+        # even when a chain's records are not contiguous in the file
+        idxs = np.array(
+            [r.std_index for r in target.residues
+             if r.is_standard_aa and r.std_index is not None],
+            np.int64,
+        )
+        mask = np.isin(self.res_index, idxs)
+        remap = np.full(int(self.res_index.max(initial=0)) + 1, -1, np.int64)
+        remap[idxs] = np.arange(len(idxs))
         return Structure(
             name=self.name,
             chains=[target],
             coords=self.coords[mask],
             elements=self.elements[mask],
             atom_names=self.atom_names[mask],
-            res_index=self.res_index[mask] - start,
+            res_index=remap[self.res_index[mask]].astype(np.int32),
             bfactors=self.bfactors[mask],
         )
 
@@ -330,6 +337,7 @@ def _build_structure_from_fields(
             chains[chain_c].residues.append(res)
             if res.is_standard_aa:
                 std_res_counter += 1
+                res.std_index = std_res_counter
         an = f["atom_name"][i]
         if an in res.atom_names:
             continue  # duplicate atom (altloc remnants)

@@ -74,12 +74,10 @@ def discover_models(models_dir: Path) -> dict[str, Path | None]:
 
 
 def _nmr_consensus(per_state_probs: list[np.ndarray]) -> np.ndarray:
-    """Running pairwise average over states — the reference's consensus
-    accumulation order (utils.py:694-721: consensus = (consensus + cur)/2)."""
-    acc = np.array(per_state_probs[0])
-    for p in per_state_probs[1:]:
-        acc = (acc + np.array(p)) / 2
-    return acc
+    """Reference consensus accumulation — shared impl in io/decode.py."""
+    from .io.decode import consensus_running_average
+
+    return consensus_running_average(per_state_probs)
 
 
 # --------------------------------------------------------------- sections
@@ -149,10 +147,13 @@ def _load_structures(cfg, args):
     return states
 
 
-def _draw_property_constraints(structure, native_seq, residue_map, prop):
-    """Polar/charge multiselects -> property map -> modified structure
-    (reference ui.py:797-831)."""
-    from .structure import convert_seq_to_property, modify_structure_with_property
+def _draw_property_constraints(native_seq, residue_map, prop):
+    """Polar/charge multiselects -> property map (reference ui.py:797-831).
+
+    Drawn ONCE per run — the same map applies to every NMR state (drawing
+    per state would create duplicate widget IDs, which streamlit rejects).
+    """
+    from .structure import convert_seq_to_property
 
     current = convert_seq_to_property(native_seq, prop)
     st.subheader(f"Constrain {prop}")
@@ -171,7 +172,7 @@ def _draw_property_constraints(structure, native_seq, residue_map, prop):
             "Polar residues", residue_map,
             [r for r, v in zip(residue_map, current) if v == 1])
         prop_map[[residue_map.index(r) for r in pol_sel]] = 1
-    return modify_structure_with_property(structure, prop_map, prop), prop_map
+    return prop_map
 
 
 def _probability_heatmap(probs20, native_seq, rotamer_probs=None,
@@ -409,13 +410,12 @@ def main(argv=None):  # noqa: C901 - UI flow
     spec = MODEL_REGISTRY.get(model_name)
     prop = PROPERTY_MODELS.get(model_name)
     if prop is not None:
-        new_states = []
-        for s in states:
-            modified, _ = _draw_property_constraints(
-                s, native_seq, residue_map, prop
-            )
-            new_states.append(modified)
-        states = new_states
+        from .structure import modify_structure_with_property
+
+        prop_map = _draw_property_constraints(native_seq, residue_map, prop)
+        states = [
+            modify_structure_with_property(s, prop_map, prop) for s in states
+        ]
         structure = states[0]
 
     h5_path = model_options.get(model_name)
