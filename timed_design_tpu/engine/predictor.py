@@ -103,19 +103,32 @@ class Predictor:
             out_shardings=self._sharding,
         )
 
-    def _dispatch(self, chunk: np.ndarray):
-        """Pad + device_put + launch; returns the (async) device result."""
+    def _dispatch(self, chunk):
+        """Pad + device_put + launch; returns the (async) device result.
+
+        Accepts host (numpy) OR device (jax) arrays — device-resident frames
+        from the on-device voxelizer stay on device (no host roundtrip; over
+        this dev tunnel that roundtrip costs ~1 s per 76-residue design).
+        """
         n = chunk.shape[0]
-        if n < self.batch_size:
-            chunk = np.concatenate(
-                [chunk,
-                 np.zeros((self.batch_size - n, *chunk.shape[1:]), chunk.dtype)]
-            )
         dt = self._transfer_dtype
-        x = jax.device_put(
-            jnp.asarray(chunk) if dt is None else jnp.asarray(chunk, dt),
-            self._sharding,
-        )
+        if isinstance(chunk, jax.Array):
+            if dt is not None:
+                chunk = chunk.astype(dt)
+            if n < self.batch_size:
+                chunk = jnp.pad(
+                    chunk,
+                    [(0, self.batch_size - n)] + [(0, 0)] * (chunk.ndim - 1),
+                )
+        else:
+            if n < self.batch_size:
+                chunk = np.concatenate(
+                    [chunk,
+                     np.zeros((self.batch_size - n, *chunk.shape[1:]),
+                              chunk.dtype)]
+                )
+            chunk = jnp.asarray(chunk) if dt is None else jnp.asarray(chunk, dt)
+        x = jax.device_put(chunk, self._sharding)
         return self._fn(self.params, x)
 
     def predict_stream(
@@ -356,5 +369,5 @@ def predict_structure(
     fa = structure_to_frame_atoms(structure_or_path, codec)
     frames = voxelize_frame_atoms(fa, codec, gaussian=gaussian)
     predictor = Predictor(resolved, batch_size=batch_size, mesh=mesh)
-    probs = predictor.predict_probs(np.asarray(frames))
+    probs = predictor.predict_probs(frames)  # device-resident, no roundtrip
     return probs, fa

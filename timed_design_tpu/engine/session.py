@@ -63,9 +63,9 @@ class DesignSession:
             structure = load_pdb(Path(structure))
         t0 = time.perf_counter()
         fa = structure_to_frame_atoms(structure, self.codec)
-        frames = np.asarray(
-            voxelize_frame_atoms(fa, self.codec, gaussian=self.gaussian)
-        )
+        # frames stay device-resident: voxelizer output feeds the predictor
+        # directly (no host roundtrip of (R, 21^3, C))
+        frames = voxelize_frame_atoms(fa, self.codec, gaussian=self.gaussian)
         t1 = time.perf_counter()
         probs = self.predictor.predict_probs(frames)
         self.last_timings = {
