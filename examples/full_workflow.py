@@ -37,6 +37,12 @@ def main() -> None:
 
     dataset = make_frame_dataset([UBQ], work / "data.hdf5", codec="CNOCACB")
     print(f"[1] voxelized -> {dataset}")
+    # optional: the flat fast layout (~40x faster batch loading; also
+    # available for existing aposteriori datasets via td-convert-dataset)
+    from timed_design_tpu.io import convert_to_flat
+
+    flat = convert_to_flat(dataset, work / "data_flat.hdf5")
+    print(f"    flat fast layout -> {flat}")
 
     # 2. design ---------------------------------------------------------
     from timed_design_tpu.engine import load_dataset_and_predict
@@ -103,6 +109,20 @@ def main() -> None:
     probs, _ = predict_structure(UBQ, (module, restored), codec="CNOCACB",
                                  batch_size=128)
     print(f"[5] trained {int(state.step)} steps; re-predicted {probs.shape}")
+
+    # 6. persistent serving session --------------------------------------
+    from timed_design_tpu.engine import DesignSession
+    import time
+
+    sess = DesignSession(
+        "TIMED_rotamer_not_so_deep", batch_size=128,
+        allow_random_weights=True,
+    )
+    sess.design(UBQ)  # compile
+    t0 = time.perf_counter()
+    seq2 = sess.design_sequence(UBQ)
+    print(f"[6] warm serving design: {time.perf_counter() - t0:.3f}s "
+          f"(frames stay on device)")
     print("workflow complete.")
 
 
