@@ -219,3 +219,34 @@ def test_overfit_1ubq_frames_learns_residue_signal(tmp_path, ubq_pdb_gz):
             first_loss = float(m["loss"])
     assert float(m["top1"]) >= 0.3, float(m["top1"])
     assert float(m["loss"]) < first_loss - 0.8
+
+
+def test_fit_drops_loader_padding():
+    """fit() must slice batches to n_valid: padded zero frames (zero labels)
+    pollute BatchNorm batch statistics and dilute metrics — found on real
+    hardware as loss->0 with top1 pinned at n_valid/batch and garbage
+    eval-mode predictions (round-2 TPU drive)."""
+    # fast BN momentum so running stats converge within the short run and
+    # the assertion isolates the padding behavior, not BN lag
+    module = timed(filters=(4,), bn_momentum=0.5)
+    rng = np.random.default_rng(0)
+    X = np.zeros((32, 21, 21, 21, 5), np.float32)
+    y = np.zeros((32, 20), np.float32)
+    X[:12] = rng.random((12, 21, 21, 21, 5))
+    lab = X[:12].sum((1, 2, 3)).argmax(-1) % 20
+    y[np.arange(12), lab] = 1.0
+    loader = [(X, y, 12)] * 50
+
+    # 1-device mesh: with the suite's 8-device mesh, data-axis divisibility
+    # forces keep=16 (4 padded rows retained) — fine in production, but this
+    # test isolates the fully-sliced path
+    state = fit(module, loader, n_classes=20, learning_rate=5e-3,
+                log_every=1000, mesh=make_mesh(n_data=1))
+    # with the old padded batches, eval predictions collapsed toward one
+    # class (measured ~0.08 recovery on hardware); the fixed path reaches
+    # ~0.42 on this 50-step toy run (chance = 0.2 over the 5 present labels)
+    out = module.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, X[:12]
+    )
+    eval_acc = float((np.asarray(out).argmax(1) == lab).mean())
+    assert eval_acc > 1 / 3, eval_acc

@@ -15,6 +15,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bn_momentum", type=float, default=0.99,
+                   help="BatchNorm running-stat momentum (Keras default "
+                        "0.99; use ~0.9 for short runs so eval-mode stats "
+                        "converge — they lag the batch stats by "
+                        "~1/(1-momentum) steps)")
     p.add_argument("--output", type=str, default="checkpoint.npz")
     return p
 
@@ -30,7 +35,10 @@ def main(argv=None) -> None:
     meta = FrameDatasetMetadata.from_file(dataset)
     dmap, _ = create_flat_dataset_map(dataset)
     loader = FrameBatchLoader(dataset, dmap, batch_size=args.batch_size)
-    module = spec.build()
+    try:
+        module = spec.build(bn_momentum=args.bn_momentum)
+    except TypeError:  # architectures without a momentum knob
+        module = spec.build()
     state = fit(
         module,
         loader,

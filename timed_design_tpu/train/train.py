@@ -140,9 +140,18 @@ def fit(
     )
     step_fn = jax.jit(make_train_step(module, optimizer))
     bsh = batch_sharding(mesh)
+    n_data = mesh.shape["data"]
     step = 0
     for _ in range(epochs):
         for X, y, n_valid in loader:
+            # Drop loader padding: zero frames with zero labels contribute no
+            # gradient but DO pollute BatchNorm batch statistics (and dilute
+            # the metrics) — with small datasets badly enough to wreck
+            # eval-mode predictions. Costs at most one extra compile for the
+            # final partial batch shape (rounded to the data-axis size).
+            if n_valid < X.shape[0]:
+                keep = max(n_data, -(-n_valid // n_data) * n_data)
+                X, y = X[:keep], y[:keep]
             rng, sub = jax.random.split(rng)
             x_dev = jax.device_put(jnp.asarray(X, jnp.float32), bsh)
             y_dev = jax.device_put(jnp.asarray(y, jnp.float32), bsh)
