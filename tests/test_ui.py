@@ -225,3 +225,28 @@ def test_nmr_consensus_matches_reference_accumulation():
     a, b, c = (np.full((2, 3), v) for v in (1.0, 2.0, 4.0))
     out = ui._nmr_consensus([a, b, c])
     np.testing.assert_allclose(out, ((1 + 2) / 2 + 4) / 2)
+
+
+@pytest.mark.slow
+def test_ui_property_constrained_design(monkeypatch, ubq, tmp_path):
+    """TIMED_Charge flow: property multiselects (drawn once), structure
+    rewrite, 6-channel CNOCACBQ codec through the DesignSession."""
+    responses = {
+        "Upload your backbone/PDB of interest": _Upload(ubq),
+        "Choose your Model": "TIMED_Charge",
+        "Demo mode (random weights)": True,
+        "Design!": True,
+        # keep native charge constraints (defaults) for the multiselects
+    }
+    fake = _run_ui(monkeypatch, responses,
+                   argv=["--path_to_models", str(tmp_path),
+                         "--batch_size", "128"])
+    kinds = fake.kinds()
+    assert "success" in kinds
+    texts = fake.texts()
+    assert "Constrain charge" in texts
+    # both charge multiselects drawn exactly once (duplicate widget IDs
+    # would crash real streamlit)
+    ms = [a for k, a in fake.calls if k == "multiselect"]
+    assert ms.count("Positive (+1) residues") == 1
+    assert ms.count("Negative (-1) residues") == 1
