@@ -134,3 +134,37 @@ def test_temperature_zero_is_argmax():
 
     s = sample_structure(p, 3, jax.random.key(0), temperature=0)
     assert s[0][0] == s[1][0] == s[2][0]
+
+
+def test_main_sample_rotamer_autodetect(tmp_path, monkeypatch):
+    """A 338-class matrix without --predict_rotamers auto-enables rotamer
+    decoding (used to IndexError deep in decode); a 20-class matrix WITH the
+    flag errors clearly (found driving scripts/run_sampling.py on TPU)."""
+    import numpy as np
+
+    from timed_design_tpu.sample import SampleConfig, main_sample
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    P = rng.dirichlet(np.ones(338), size=6)
+    np.savetxt(tmp_path / "m_rot.csv", P, delimiter=",")
+    (tmp_path / "m.txt").write_text(
+        "ignore_uncommon False\ninclude_pdbs\n##########\n1abcA 6\n"
+    )
+    paths = main_sample(SampleConfig(
+        path_to_pred_matrix=tmp_path / "m_rot.csv",
+        path_to_datasetmap=tmp_path / "m.txt",
+        sample_n=4, temperature=1.0,
+    ))
+    assert any(p.endswith(".fasta") for p in paths)
+
+    P20 = rng.dirichlet(np.ones(20), size=6)
+    np.savetxt(tmp_path / "m20.csv", P20, delimiter=",")
+    import pytest
+
+    with pytest.raises(ValueError, match="20 classes"):
+        main_sample(SampleConfig(
+            path_to_pred_matrix=tmp_path / "m20.csv",
+            path_to_datasetmap=tmp_path / "m.txt",
+            sample_n=4, temperature=1.0, predict_rotamers=True,
+        ))

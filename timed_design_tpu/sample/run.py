@@ -42,6 +42,23 @@ def main_sample(cfg: SampleConfig) -> list[str]:
     prediction_matrix = load_prediction_matrix(pred_path, dtype=np.float64)
     dmap = load_datasetmap(map_path, is_old=cfg.support_old_datasetmap)
 
+    # the class count identifies the head unambiguously (20 residues vs the
+    # 338-rotamer vocabulary) — a wrong/missing --predict_rotamers used to
+    # surface as an IndexError deep inside decoding
+    n_classes = prediction_matrix.shape[1]
+    if n_classes == 338 and not cfg.predict_rotamers:
+        print("338-class matrix detected: enabling rotamer decoding.")
+        cfg = dataclasses.replace(cfg, predict_rotamers=True)
+    elif n_classes == 20 and cfg.predict_rotamers:
+        raise ValueError(
+            f"{pred_path} has 20 classes but --predict_rotamers was given — "
+            "pass the {model}_rot.csv matrix for rotamer sampling."
+        )
+    elif n_classes not in (20, 338):
+        raise ValueError(
+            f"{pred_path} has {n_classes} classes; expected 20 or 338."
+        )
+
     if cfg.temperature != 1:
         prediction_matrix = apply_temperature(prediction_matrix, cfg.temperature)
 
