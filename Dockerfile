@@ -6,6 +6,12 @@ FROM python:3.12-slim
 WORKDIR /app
 COPY pyproject.toml README.md ./
 COPY timed_design_tpu ./timed_design_tpu
+# native components (C++ PDB scanner + parallel inflate pool) compile on
+# first use; without a toolchain the pure-Python fallbacks take over
+COPY native ./native
+RUN apt-get update \
+    && apt-get install -y --no-install-recommends g++ zlib1g-dev \
+    && rm -rf /var/lib/apt/lists/*
 
 RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
     && pip install --no-cache-dir .[ui,analysis]
