@@ -250,3 +250,38 @@ def test_fit_drops_loader_padding():
     )
     eval_acc = float((np.asarray(out).argmax(1) == lab).mean())
     assert eval_acc > 1 / 3, eval_acc
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore, incl. restore-with-target (shape-validated)."""
+    from timed_design_tpu.train import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    module = timed(filters=(4,))
+    optimizer = optax.adam(1e-3)
+    state, _ = init_train_state(
+        module, jax.random.key(0), (1, 21, 21, 21, 5), optimizer, None
+    )
+    path = tmp_path / "orbax_ckpt"
+    assert save_checkpoint_orbax(state, path)
+
+    restored = load_checkpoint_orbax(path)
+    x = jnp.ones((2, 21, 21, 21, 5))
+    out1 = module.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, x
+    )
+    out2 = module.apply(
+        {"params": restored["params"], "batch_stats": restored["batch_stats"]}, x
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+    # restore-with-target: validated shapes, same result
+    target = {"params": state.params, "batch_stats": state.batch_stats,
+              "step": state.step}
+    restored_t = load_checkpoint_orbax(path, target=target)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored_t["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )

@@ -6,5 +6,7 @@ from .train import (  # noqa: F401
     load_checkpoint_params,
     make_train_step,
     param_shardings,
+    load_checkpoint_orbax,
     save_checkpoint,
+    save_checkpoint_orbax,
 )

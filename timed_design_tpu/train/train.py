@@ -209,9 +209,15 @@ def save_checkpoint_orbax(state: TrainState, path) -> bool:
     return True
 
 
-def load_checkpoint_orbax(path):
+def load_checkpoint_orbax(path, target=None):
+    """Restore an orbax checkpoint; pass ``target`` (a pytree of like-shaped
+    arrays, e.g. a fresh ``init_train_state`` result's {params, batch_stats,
+    step}) to get shape/dtype validation and correct sharding placement
+    instead of a blind dict restore."""
     import orbax.checkpoint as ocp
     from pathlib import Path
 
     with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(Path(path).absolute(), target=target)
         return ckptr.restore(Path(path).absolute())
