@@ -71,3 +71,14 @@ def test_sample_cli_end_to_end(tmp_path, monkeypatch, capsys):
     fastas = list(tmp_path.glob("*.fasta"))
     assert len(fastas) == 1
     assert fastas[0].read_text().count(">") == 4
+
+
+def test_predict_profile_flag_writes_trace(tmp_path, monkeypatch):
+    """--profile DIR wraps the run in jax.profiler.trace."""
+    from timed_design_tpu.cli.predict import build_parser
+
+    args = build_parser().parse_args(
+        ["--path_to_dataset", "d.hdf5", "--path_to_model", "X.h5",
+         "--profile", str(tmp_path / "trace")]
+    )
+    assert args.profile == str(tmp_path / "trace")

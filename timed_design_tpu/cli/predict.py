@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="Conv compute dtype; bfloat16 runs ~1.7x faster on "
                         "the MXU (float32 default for strict CSV parity)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="Write a jax.profiler trace of the run to DIR "
+                        "(open with TensorBoard / xprof)")
     p.add_argument("--allow-random-weights", action="store_true",
                    dest="allow_random_weights",
                    help="Permit bare registry names with no weights "
@@ -86,19 +89,29 @@ def main(argv=None) -> None:
 
         compute_dtype = getattr(jnp, args.compute_dtype)
 
-    result = load_dataset_and_predict(
-        cfg.path_to_model,
-        cfg.path_to_dataset,
-        batch_size=cfg.batch_size,
-        start_batch=cfg.start_batch,
-        dataset_map_path=cfg.path_to_datasetmap,
-        blacklist=cfg.path_to_blacklist,
-        predict_rotamers=cfg.predict_rotamers,
-        is_consensus=cfg.is_structure_nmr,
-        path_to_output=cfg.path_to_output,
-        compute_dtype=compute_dtype,
-        allow_random_weights=args.allow_random_weights,
-    )
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
+    with profile_cm:
+        result = load_dataset_and_predict(
+            cfg.path_to_model,
+            cfg.path_to_dataset,
+            batch_size=cfg.batch_size,
+            start_batch=cfg.start_batch,
+            dataset_map_path=cfg.path_to_datasetmap,
+            blacklist=cfg.path_to_blacklist,
+            predict_rotamers=cfg.predict_rotamers,
+            is_consensus=cfg.is_structure_nmr,
+            path_to_output=cfg.path_to_output,
+            compute_dtype=compute_dtype,
+            allow_random_weights=args.allow_random_weights,
+        )
+    if args.profile:
+        print(f"Profiler trace written to {args.profile}")
     print(f"Predicted {sum(len(s) for s in result.pdb_to_sequence.values())} residues "
           f"across {len(result.pdb_to_sequence)} chains.")
     for phase, secs in result.timings.items():
