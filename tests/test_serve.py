@@ -1,0 +1,88 @@
+"""HTTP design service (cli/serve.py) end-to-end over a real socket."""
+import gzip
+import json
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    import jax
+
+    from timed_design_tpu.cli.serve import make_server
+    from timed_design_tpu.engine import DesignSession
+    from timed_design_tpu.models import export_timed_to_h5, timed
+
+    d = tmp_path_factory.mktemp("serve_models")
+    module = timed(filters=(8,))
+    variables = module.init(
+        jax.random.key(0), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    h5 = export_timed_to_h5(
+        variables["params"], variables["batch_stats"], d / "TIMED.h5"
+    )
+    session = DesignSession(str(h5), codec="CNOCACB", batch_size=128)
+    server = make_server(session, "127.0.0.1", 0, "TIMED")
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _post(url, data: bytes):
+    req = urllib.request.Request(url, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz", timeout=60) as r:
+        body = json.loads(r.read())
+    assert body == {"status": "ok", "model": "TIMED", "n_classes": 20}
+
+
+def test_design_raw_pdb(server_url, ubq_pdb_gz):
+    pdb_text = gzip.decompress(ubq_pdb_gz.read_bytes()).decode()
+    status, body = _post(server_url + "/design", pdb_text.encode())
+    assert status == 200
+    assert body["n_residues"] == 76
+    assert len(body["sequence"]) == 76
+    assert len(body["probabilities"]) == 76
+    np.testing.assert_allclose(
+        np.array(body["probabilities"]).sum(1), 1.0, atol=1e-3
+    )
+    assert body["residues"][0] == "A1"
+    assert "voxelisation" in body["timings_s"]
+
+
+def test_design_json_with_samples(server_url, ubq_pdb_gz):
+    pdb_text = gzip.decompress(ubq_pdb_gz.read_bytes()).decode()
+    req = {"pdb": pdb_text, "n_samples": 5, "temperature": 0.5}
+    status, body = _post(server_url + "/design", json.dumps(req).encode())
+    assert status == 200
+    assert len(body["samples"]) == 5
+    s = body["samples"][0]
+    assert len(s["sequence"]) == 76
+    assert set(s) == {"sequence", "charge", "isoelectric_point",
+                      "molecular_weight", "molar_extinction"}
+
+
+def test_design_bad_inputs(server_url):
+    status, body = _post(server_url + "/design", b'{"broken": true}')
+    assert status == 400 and "bad JSON" in body["error"]
+    status, body = _post(server_url + "/design", b"not a pdb at all")
+    assert status == 422
+    try:
+        urllib.request.urlopen(server_url + "/nope", timeout=60)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
