@@ -49,3 +49,38 @@ def test_sweep_plots(tmp_path):
     assert p1.exists()
     p2 = plot_models_comparison({"TIMED": points, "DenseCPD": points}, "RMSD", tmp_path)
     assert p2.exists()
+
+
+def test_plot_scwrl_scores(tmp_path):
+    """SCWRL score comparison across models (scripts/plot_scwrl_analysis.py
+    role): boxes per model + shared WT repack, PDB-set sanity check."""
+    import pytest
+
+    from timed_design_tpu.analyse import plot_scwrl_scores
+
+    for model, scores in (("TIMED", (-40.0, -35.0)), ("ProDCoNN", (-30.0, -25.0))):
+        d = tmp_path / f"rotamer_analysis_{model}"
+        d.mkdir()
+        (d / "scwrl_scores.csv").write_text(
+            "pdb,score_pred,score_real\n"
+            f"1abcA,{scores[0]},-50.0\n"
+            f"2xyzB,{scores[1]},-45.0\n"
+        )
+    out = plot_scwrl_scores(
+        {"TIMED": tmp_path / "rotamer_analysis_TIMED",
+         "ProDCoNN": tmp_path / "rotamer_analysis_ProDCoNN"},
+        tmp_path,
+    )
+    assert out.exists() and out.stat().st_size > 0
+
+    # PDB mismatch across models must raise (the reference's sanity assert)
+    bad = tmp_path / "rotamer_analysis_bad"
+    bad.mkdir()
+    (bad / "scwrl_scores.csv").write_text(
+        "pdb,score_pred,score_real\n9zzzZ,-1.0,-2.0\n"
+    )
+    with pytest.raises(ValueError, match="PDB mismatch"):
+        plot_scwrl_scores(
+            {"TIMED": tmp_path / "rotamer_analysis_TIMED", "bad": bad},
+            tmp_path,
+        )

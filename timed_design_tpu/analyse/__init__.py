@@ -59,6 +59,7 @@ from .sweeps import (  # noqa: F401
     SweepPoint,
     plot_metric_vs_temperature,
     plot_models_comparison,
+    plot_scwrl_scores,
     run_model_benchmark,
     run_temperature_sweep,
 )

@@ -155,3 +155,54 @@ def plot_models_comparison(
     fig.savefig(out)
     plt.close(fig)
     return out
+
+
+def plot_scwrl_scores(
+    analysis_dirs: t.Mapping[str, Path],
+    output_path: Path,
+    filename: str = "scwrl_scores_comparison.png",
+) -> Path:
+    """Compare SCWRL energy-score distributions across models.
+
+    Role of scripts/plot_scwrl_analysis.py: reads each analysis dir's
+    ``scwrl_scores.csv`` (written by cli/analyse_rotamers.py), draws one
+    box per model plus the shared wild-type repack scores, and asserts the
+    PDB sets line up across models (the reference's sanity check).
+    """
+    import csv
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    labels, series = [], []
+    real_scores: list[float] = []
+    ref_pdbs: list[str] | None = None
+    for model, d in analysis_dirs.items():
+        rows = list(csv.DictReader(open(Path(d) / "scwrl_scores.csv")))
+        pdbs = [r["pdb"] for r in rows]
+        if ref_pdbs is None:
+            ref_pdbs = pdbs
+            real_scores = [
+                float(r["score_real"]) for r in rows
+                if r["score_real"] not in ("", "nan")
+            ]
+        elif pdbs != ref_pdbs:
+            raise ValueError(f"PDB mismatch for model {model}: "
+                             f"{pdbs} vs {ref_pdbs}")
+        labels.append(model)
+        series.append([
+            float(r["score_pred"]) for r in rows
+            if r["score_pred"] not in ("", "nan")
+        ])
+    fig, ax = plt.subplots(figsize=(2 + 1.2 * (len(labels) + 1), 5))
+    ax.boxplot([real_scores] + series, tick_labels=["scwrl_real"] + labels)
+    ax.set_ylabel("SCWRL total minimal energy")
+    ax.set_title("Side-chain packing energy: repacked WT vs designs")
+    plt.setp(ax.get_xticklabels(), rotation=30, ha="right")
+    fig.tight_layout()
+    out = Path(output_path) / filename
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
