@@ -384,3 +384,28 @@ def test_flat_rows_identity_fast_path(ubq_flat_h5):
     with h5py.File(ubq_flat_h5) as f:
         rows2 = loader2._flat_rows(f)
     np.testing.assert_array_equal(rows2, np.arange(76)[::-1])
+
+
+def test_loader_shuffle_per_epoch(ubq_flat_h5, ubq_h5):
+    """shuffle=True permutes residues globally with a fresh order each
+    epoch; the (frame, label) pairing must survive (flat AND tree)."""
+    for path in (ubq_flat_h5, ubq_h5):
+        dmap, _ = create_flat_dataset_map(path)
+        base = FrameBatchLoader(path, dmap, batch_size=76)
+        X0, y0, _ = next(iter(base))
+        loader = FrameBatchLoader(path, dmap, batch_size=76, shuffle=True,
+                                  shuffle_seed=7)
+        X1, y1, _ = next(iter(loader))
+        X2, y2, _ = next(iter(loader))  # second epoch: different order
+        assert not np.array_equal(X1, X0)
+        assert not np.array_equal(X2, X1)
+        # same multiset of frames, and pairing preserved: match each
+        # shuffled frame back to its original index via exact equality
+        def key(X):
+            return {X[i].tobytes(): i for i in range(76)}
+
+        k0 = key(X0)
+        for Xs, ys in ((X1, y1), (X2, y2)):
+            for i in range(76):
+                j = k0[Xs[i].tobytes()]
+                np.testing.assert_array_equal(ys[i], y0[j])

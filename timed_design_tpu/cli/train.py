@@ -15,6 +15,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_shuffle", action="store_true",
+                   help="Disable the per-epoch global shuffle of residues")
     p.add_argument("--bn_momentum", type=float, default=0.99,
                    help="BatchNorm running-stat momentum (Keras default "
                         "0.99; use ~0.9 for short runs so eval-mode stats "
@@ -34,7 +36,10 @@ def main(argv=None) -> None:
     spec = get_model_spec(args.model)
     meta = FrameDatasetMetadata.from_file(dataset)
     dmap, _ = create_flat_dataset_map(dataset)
-    loader = FrameBatchLoader(dataset, dmap, batch_size=args.batch_size)
+    loader = FrameBatchLoader(
+        dataset, dmap, batch_size=args.batch_size,
+        shuffle=not args.no_shuffle, shuffle_seed=args.seed,
+    )
     try:
         module = spec.build(bn_momentum=args.bn_momentum)
     except TypeError:  # architectures without a momentum knob

@@ -176,10 +176,18 @@ class FrameBatchLoader:
         start_batch: int = 0,
         prefetch: int = 2,
         native_inflate: bool = True,
+        shuffle: bool = False,
+        shuffle_seed: int = 0,
     ):
+        """``shuffle=True`` draws a fresh global permutation of the residue
+        entries on every ``__iter__`` (i.e. per epoch) — required for
+        training; inference keeps map order. Flat-layout reads go through
+        the sorted-gather path when shuffled."""
         assert dmap.is_old, "FrameBatchLoader requires a per-residue dataset map"
         self.dataset_path = Path(dataset_path)
         self.entries = dmap.entries
+        self.shuffle = shuffle
+        self._shuffle_rng = np.random.default_rng(shuffle_seed)
         self._dmap_identity_for = dmap.row_identity_for
         self.batch_size = batch_size
         self.start_batch = start_batch
@@ -247,8 +255,10 @@ class FrameBatchLoader:
             )
             dst[sel_dst] = tmp[sel_src]
 
-    def _read_batch(self, f: h5py.File, index: int) -> tuple[np.ndarray, np.ndarray, int]:
-        batch = self.entries[index * self.batch_size : (index + 1) * self.batch_size]
+    def _read_batch(
+        self, f: h5py.File, entries, index: int
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        batch = entries[index * self.batch_size : (index + 1) * self.batch_size]
         dims = self.meta.frame_dims
         X = np.zeros((self.batch_size, *dims), dtype=np.float32)
         y = np.zeros((self.batch_size, 20), dtype=np.float32)
@@ -352,6 +362,12 @@ class FrameBatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
+        perm = (
+            self._shuffle_rng.permutation(len(self.entries))
+            if self.shuffle
+            else None
+        )
+
         def producer():
             # ANY producer failure must reach the consumer — dying without
             # enqueueing a sentinel would leave the consumer blocked in
@@ -361,11 +377,18 @@ class FrameBatchLoader:
                 with h5py.File(self.dataset_path, "r") as f:
                     if _is_flat_layout(f):
                         rows = self._flat_rows(f)
+                        if perm is not None:
+                            rows = rows[perm]
                         for index in range(self.start_batch, self.n_batches):
                             q.put(self._read_batch_flat(f, rows, index))
                     else:
+                        entries = (
+                            [self.entries[i] for i in perm]
+                            if perm is not None
+                            else self.entries
+                        )
                         for index in range(self.start_batch, self.n_batches):
-                            q.put(self._read_batch(f, index))
+                            q.put(self._read_batch(f, entries, index))
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer
                 q.put(("__producer_error__", e))
                 return
