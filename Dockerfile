@@ -17,5 +17,7 @@ RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-
     && pip install --no-cache-dir .[ui,analysis]
 
 EXPOSE 8501
+# headless production serving instead of the UI:
+#   CMD ["td-serve", "--model", "/models/TIMED.h5", "--host", "0.0.0.0", "--port", "8501"]
 CMD ["streamlit", "run", "timed_design_tpu/ui.py", "--server.port=8501", \
      "--server.address=0.0.0.0", "--", "--path_to_models", "/models"]
