@@ -225,3 +225,23 @@ def test_select_chain_invariants(ubq_pdb_gz):
 
     with pytest.raises(KeyError):
         s.select_chain("@")
+
+
+def test_altloc_b_only_residues_kept():
+    """Residues whose only conformers carry a non-'A' altloc (e.g. 1EJG)
+    must not vanish; with multiple conformers the first one wins per atom
+    (ampal keeps the first conformer too)."""
+    from timed_design_tpu.structure import parse_pdb_string
+
+    text = (
+        "ATOM      1  N  BVAL A   1      27.340  24.430   2.614  0.50  9.67           N\n"
+        "ATOM      2  CA BVAL A   1      26.266  25.413   2.842  0.50 10.38           C\n"
+        "ATOM      3  N  ASER A   2      30.000  24.430   2.614  0.50  9.67           N\n"
+        "ATOM      4  N  BSER A   2      31.000  24.430   2.614  0.50  9.67           N\n"
+        "END\n"
+    )
+    s = parse_pdb_string(text, name="altloc")[0]
+    res = {r.id: r for r in s.residues}
+    assert res["1"].res_name == "VAL" and len(res["1"].atom_names) == 2
+    # first conformer (A at x=30.0) wins over B
+    assert res["2"].atom("N")[0] == 30.0

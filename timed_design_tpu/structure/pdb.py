@@ -287,8 +287,12 @@ def _build_structure_from_fields(
     f: dict[str, np.ndarray], name: str, remap_uncommon: bool, keep_hetatms: bool
 ) -> Structure:
     n = f["coords"].shape[0]
-    # altloc filter (keep blank/'A'), vectorized
-    keep = (f["altloc"] == " ") | (f["altloc"] == "A") | (f["altloc"] == "")
+    # altloc handling: keep blank/'A' outright; additionally keep any OTHER
+    # altloc letter so residues whose only conformers are B/C/... (real PDBs
+    # e.g. 1EJG) are not dropped — the per-residue first-atom-wins dedupe
+    # below then selects one conformer per atom name (ampal keeps the first
+    # conformer too).
+    keep = np.ones(n, bool)
     # element inference where the PDB column is absent: first alphabetic char
     # of the atom name
     element = f["element"].copy()
