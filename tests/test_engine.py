@@ -161,3 +161,41 @@ def test_trained_checkpoint_roundtrip(tmp_path, ubq_pdb_gz):
     )
     assert probs.shape == (76, 338)
     np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_start_batch_resume_end_to_end(tmp_path, ubq_h5):
+    """Crashed-run resume (reference predict.py:54-57): a run resumed with
+    --start_batch must stitch the appended CSVs into the FULL matrix and
+    produce byte-identical artifacts to an uninterrupted run (it used to
+    crash decoding partial rows against the full map — found driving the
+    CLI on hardware)."""
+    name = "TIMED_rotamer_not_so_deep"
+    full_dir = tmp_path / "full"
+    res_dir = tmp_path / "resume"
+    for d in (full_dir, res_dir):
+        d.mkdir()
+    kw = dict(batch_size=32, predict_rotamers=True, allow_random_weights=True)
+    load_dataset_and_predict([name], ubq_h5, path_to_output=full_dir,
+                             dataset_map_path=full_dir / "dm.txt", **kw)
+    # simulate the crash: run fully, then truncate artifacts to batch 1
+    load_dataset_and_predict([name], ubq_h5, path_to_output=res_dir,
+                             dataset_map_path=res_dir / "dm.txt", **kw)
+    for f in (f"{name}_rot.csv", f"{name}.csv", "encoded_labels.csv"):
+        rows = (res_dir / f).read_text().splitlines()[:32]
+        (res_dir / f).write_text("\n".join(rows) + "\n")
+    load_dataset_and_predict([name], ubq_h5, path_to_output=res_dir,
+                             dataset_map_path=res_dir / "dm.txt",
+                             start_batch=1, **kw)
+    for f in (f"{name}_rot.csv", f"{name}.csv", f"{name}.fasta",
+              "encoded_labels.csv"):
+        assert (res_dir / f).read_text() == (full_dir / f).read_text(), f
+
+    # inconsistent resume (map larger than csv rows) -> clear error
+    for f in (f"{name}_rot.csv",):
+        rows = (res_dir / f).read_text().splitlines()[:10]
+        (res_dir / f).write_text("\n".join(rows) + "\n")
+    with pytest.raises(ValueError, match="Resume mismatch"):
+        load_dataset_and_predict([name], ubq_h5, path_to_output=res_dir,
+                                 dataset_map_path=res_dir / "dm.txt",
+                                 start_batch=2, **kw)

@@ -299,20 +299,45 @@ def load_dataset_and_predict(
         probs = np.concatenate(probs_parts) if probs_parts else np.zeros((0, 20))
         y_true = np.concatenate(labels_parts) if labels_parts else np.zeros((0, 20))
 
+        # append on resume so earlier batches' rows survive (the reference's
+        # append-mode CSVs, predict.py:145); truncate on fresh runs so a
+        # stale file can't duplicate rows
+        resuming = start_batch > 0
         with timer.phase("write"):
             if model_i == 0:
-                save_encoded_labels(y_true.astype(np.int64), path_to_output)
+                save_encoded_labels(
+                    y_true.astype(np.int64), path_to_output, append=resuming
+                )
             if predict_rotamers:
-                save_prediction_csv(
-                    probs, model_name, path_to_output, float16=False, rotamer=True
+                main_csv = save_prediction_csv(
+                    probs, model_name, path_to_output, append=resuming,
+                    float16=False, rotamer=True,
                 )
                 onehot20 = ROTAMER_TO_AA_ONEHOT[probs.argmax(axis=1)]
-                save_prediction_csv(onehot20, model_name, path_to_output, float16=True)
+                save_prediction_csv(onehot20, model_name, path_to_output,
+                                    append=resuming, float16=True)
             else:
-                save_prediction_csv(probs, model_name, path_to_output, float16=True)
+                main_csv = save_prediction_csv(
+                    probs, model_name, path_to_output, append=resuming,
+                    float16=True,
+                )
             save_srb_datasetmap(dmap, model_name, path_to_output)
 
         with timer.phase("decode"):
+            if resuming:
+                # earlier batches live only in the appended CSV: read the
+                # FULL matrix back for decoding — the reference's own flow
+                # (predict.py:163 re-reads the csv it just appended to)
+                from ..io import load_prediction_matrix
+
+                probs = load_prediction_matrix(main_csv, dtype=np.float64)
+                if probs.shape[0] != dmap.n_residues:
+                    raise ValueError(
+                        f"Resume mismatch: {main_csv} holds {probs.shape[0]} "
+                        f"rows but the dataset map has {dmap.n_residues} "
+                        "residues — was --start_batch consistent with the "
+                        "previous run's batch size?"
+                    )
             decode_probs = probs.astype(np.float16) if float16_decode else probs
             decoded = extract_sequences(
                 dmap,
