@@ -250,3 +250,31 @@ def test_ui_property_constrained_design(monkeypatch, ubq, tmp_path):
     ms = [a for k, a in fake.calls if k == "multiselect"]
     assert ms.count("Positive (+1) residues") == 1
     assert ms.count("Negative (-1) residues") == 1
+
+
+def test_ui_pdb_code_mirror_lookup(monkeypatch, ubq, tmp_path, models_dir):
+    """PDB-code entry with --path_to_pdb: the mirror glob finds the
+    structure; a missing code errors cleanly."""
+    import shutil
+
+    mirror = tmp_path / "mirror" / "ub"
+    mirror.mkdir(parents=True)
+    shutil.copy(ubq, mirror / "1ubq.pdb1.gz")
+
+    responses = {
+        "Enter a PDB Code:": "1UBQ",  # upper-case: sidebar lowercases
+        "Choose your Model": "TIMED",
+        "Design!": True,
+    }
+    fake = _run_ui(monkeypatch, responses,
+                   argv=["--path_to_models", str(models_dir),
+                         "--path_to_pdb", str(tmp_path / "mirror"),
+                         "--batch_size", "128"])
+    assert "success" in fake.kinds()
+
+    responses["Enter a PDB Code:"] = "9zzz"
+    fake = _run_ui(monkeypatch, responses,
+                   argv=["--path_to_models", str(models_dir),
+                         "--path_to_pdb", str(tmp_path / "mirror")])
+    errs = [a for k, a in fake.calls if k == "error"]
+    assert errs and "No structure for code 9zzz" in errs[0]
