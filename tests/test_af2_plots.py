@@ -185,3 +185,24 @@ def test_create_rot_cm_semantics(tmp_path, monkeypatch):
             assert 0.999 < mat.sum() < 1.001
         else:
             assert mat.shape == (len(y), len(y)) and len(y) > 1
+
+
+def test_run_model_benchmark(tmp_path):
+    """Zoo benchmark driver (role of scripts/run_benchmark_models.sh):
+    one model over the 1ubq dataset, per-model output dir + recovery metrics."""
+    from pathlib import Path
+
+    from timed_design_tpu.analyse import run_model_benchmark
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    src = Path(__file__).parent / "testing_files" / "1ubq.pdb1.gz"
+    h5 = make_frame_dataset([src], tmp_path / "data.hdf5", codec="CNOCBCA")
+    results = run_model_benchmark(
+        ["TIMED"], h5, tmp_path / "bench", batch_size=128,
+        allow_random_weights=True,
+    )
+    m = results["TIMED"]
+    assert 0.0 <= m["accuracy_1"] <= 1.0
+    assert m["accuracy_1"] <= m["accuracy_3"] <= 1.0
+    assert "predict" in m["timings"] or m["timings"]
+    assert (tmp_path / "bench" / "TIMED" / "TIMED.csv").exists()
