@@ -199,3 +199,36 @@ def test_start_batch_resume_end_to_end(tmp_path, ubq_h5):
         load_dataset_and_predict([name], ubq_h5, path_to_output=res_dir,
                                  dataset_map_path=res_dir / "dm.txt",
                                  start_batch=2, **kw)
+
+
+@pytest.mark.slow
+def test_multi_model_single_pass_matches_separate_runs(tmp_path, ubq_h5):
+    """Two models in one call stream the dataset once; per-model artifacts
+    must equal two single-model runs (random init is keyed deterministically,
+    so outputs are reproducible across calls)."""
+    from timed_design_tpu.io import load_prediction_matrix
+
+    fused = tmp_path / "fused"
+    fused.mkdir()
+    load_dataset_and_predict(
+        ["TIMED", "TIMED_Deep"], ubq_h5, batch_size=32,
+        path_to_output=fused, dataset_map_path=fused / "datasetmap.txt",
+        allow_random_weights=True,
+    )
+    for name in ("TIMED", "TIMED_Deep"):
+        solo = tmp_path / f"solo_{name}"
+        solo.mkdir()
+        load_dataset_and_predict(
+            [name], ubq_h5, batch_size=32, path_to_output=solo,
+            dataset_map_path=solo / "datasetmap.txt",
+            allow_random_weights=True,
+        )
+        got = load_prediction_matrix(fused / f"{name}.csv")
+        want = load_prediction_matrix(solo / f"{name}.csv")
+        np.testing.assert_array_equal(got, want)
+        assert (fused / f"{name}.fasta").read_text() == (
+            (solo / f"{name}.fasta").read_text()
+        )
+    # shared artifacts written once
+    assert (fused / "encoded_labels.csv").exists()
+    assert (fused / "dataset.fasta").exists()

@@ -168,3 +168,43 @@ def test_main_sample_rotamer_autodetect(tmp_path, monkeypatch):
             path_to_datasetmap=tmp_path / "m.txt",
             sample_n=4, temperature=1.0, predict_rotamers=True,
         ))
+
+
+def test_sample_all_structures_bucketed():
+    """Length-bucketed batched sampling: deterministic by seed, sequences
+    trimmed to true lengths, and device metrics equal to metrics recomputed
+    from the decoded sequence strings."""
+    from timed_design_tpu.sample.metrics import sequence_metrics
+
+    rng = np.random.default_rng(5)
+    d = {
+        "aaaA": rng.dirichlet(np.ones(20), size=25),   # pads 25 -> 32
+        "bbbA": rng.dirichlet(np.ones(20), size=40),   # pads 40 -> 64
+        "cccA": rng.dirichlet(np.ones(20), size=33),   # shares the 64 bucket
+    }
+    out = sample_all_structures(d, n_samples=6, seed=7)
+    out2 = sample_all_structures(d, n_samples=6, seed=7)
+    assert out == out2  # bitwise reproducible
+    assert set(out) == set(d)
+    for pdb, samples in out.items():
+        assert len(samples) == 6
+        for seq, charge, pi, mw, ext in samples:
+            assert len(seq) == d[pdb].shape[0]  # padding trimmed
+            m_charge, m_pi, m_mw, m_ext = sequence_metrics(seq)
+            assert charge == pytest.approx(m_charge, abs=1e-3)
+            assert pi == pytest.approx(m_pi, abs=1e-2)
+            assert mw == pytest.approx(m_mw, rel=1e-5)
+            assert ext == pytest.approx(m_ext, rel=1e-6)
+
+
+def test_sample_all_structures_statistics():
+    """Empirical class frequencies recover the distribution through the
+    bucketed path (reference test_sampling_utils.py:31-44 model)."""
+    p = np.array([[0.5, 0.3, 0.2] + [0.0] * 17] * 10)
+    out = sample_all_structures({"xA": p}, n_samples=4000, seed=0)
+    seqs = [s[0] for s in out["xA"]]
+    flat = "".join(seqs)
+    from timed_design_tpu.constants import AA1
+
+    freq = np.array([flat.count(AA1[i]) / len(flat) for i in range(3)])
+    np.testing.assert_allclose(freq, [0.5, 0.3, 0.2], atol=0.01)

@@ -149,23 +149,74 @@ def sample_structure(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("n_samples", "rotamer_mode"))
+def _sample_bucket(keys, probs, mask, n_samples: int, rotamer_mode: bool):
+    """vmap of the fused draw+metrics program over a (B, Lp, C) bucket."""
+    return jax.vmap(
+        lambda k, p, m: sample_sequences_with_metrics(
+            k, p, n_samples, rotamer_mode=rotamer_mode, mask=m
+        )
+    )(keys, probs, mask)
+
+
 def sample_all_structures(
     pdb_to_probability: dict[str, np.ndarray],
     n_samples: int,
     seed: int = 42,
     rotamer_mode: bool = False,
     temperature: float = 1.0,
+    pad_to: int = 32,
 ) -> dict[str, list[tuple]]:
     """Sample every structure — the `sample_with_multiprocessing` replacement
-    (sampling_utils.py:164-197): structures are padded to a common length and
-    processed as one batched device program per length bucket; no process
-    pool, results bitwise-reproducible from ``seed``.
+    (sampling_utils.py:164-197): structures are zero-padded to a common
+    length (multiples of ``pad_to``) and processed as ONE batched device
+    program per length bucket — a 59-structure production sweep is a handful
+    of dispatches instead of 59 (per-dispatch latency dominates small
+    programs). No process pool; results bitwise-reproducible from ``seed``
+    (each structure keeps its own PRNG key; padded rows are masked out of the
+    metrics and trimmed from the sequences). Note the padded draw shape means
+    the stream differs from an unpadded single-structure call with the same
+    key — determinism is per (seed, pad_to), as with any shape-keyed PRNG.
     """
-    keys = jax.random.split(jax.random.key(seed), len(pdb_to_probability))
+    items = list(pdb_to_probability.items())
+    if not items:
+        return {}
+    keys = jax.random.split(jax.random.key(seed), len(items))
+    buckets: dict[tuple[int, int], list[int]] = {}
+    arrays: list[np.ndarray] = []
+    for i, (_, probs) in enumerate(items):
+        p = jnp.asarray(probs, jnp.float32)
+        if temperature != 1.0:
+            p = apply_temperature(p, temperature)
+        arr = np.asarray(p)
+        arrays.append(arr)
+        padded_len = -(-arr.shape[0] // pad_to) * pad_to
+        buckets.setdefault((padded_len, arr.shape[1]), []).append(i)
+
+    aa = np.array(list(AA1))
     out: dict[str, list[tuple]] = {}
-    for (pdb, probs), key in zip(pdb_to_probability.items(), keys):
-        out[pdb] = sample_structure(
-            np.asarray(probs), n_samples, key,
-            rotamer_mode=rotamer_mode, temperature=temperature,
+    for (padded_len, n_classes), idxs in buckets.items():
+        P = np.zeros((len(idxs), padded_len, n_classes), np.float32)
+        M = np.zeros((len(idxs), padded_len), np.float32)
+        for j, i in enumerate(idxs):
+            P[j, : arrays[i].shape[0]] = arrays[i]
+            M[j, : arrays[i].shape[0]] = 1.0
+        codes, metrics = _sample_bucket(
+            keys[np.asarray(idxs)], jnp.asarray(P), jnp.asarray(M),
+            n_samples, rotamer_mode,
         )
+        codes = np.asarray(codes)
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        for j, i in enumerate(idxs):
+            pdb, length = items[i][0], arrays[i].shape[0]
+            out[pdb] = [
+                (
+                    "".join(aa[codes[j, s, :length]]),
+                    float(metrics["charge"][j, s]),
+                    float(metrics["isoelectric_point"][j, s]),
+                    float(metrics["molecular_weight"][j, s]),
+                    float(metrics["molar_extinction_280"][j, s]),
+                )
+                for s in range(n_samples)
+            ]
     return out
