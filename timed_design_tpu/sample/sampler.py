@@ -151,12 +151,17 @@ def sample_structure(
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "rotamer_mode"))
 def _sample_bucket(keys, probs, mask, n_samples: int, rotamer_mode: bool):
-    """vmap of the fused draw+metrics program over a (B, Lp, C) bucket."""
-    return jax.vmap(
+    """vmap of the fused draw+metrics program over a (B, Lp, C) bucket.
+
+    Codes come back as uint8 (AA indices < 20): 4x fewer wire bytes on the
+    fetch, and the host decodes sequences by byte-table lookup.
+    """
+    codes, metrics = jax.vmap(
         lambda k, p, m: sample_sequences_with_metrics(
             k, p, n_samples, rotamer_mode=rotamer_mode, mask=m
         )
     )(keys, probs, mask)
+    return codes.astype(jnp.uint8), metrics
 
 
 def sample_all_structures(
@@ -185,15 +190,17 @@ def sample_all_structures(
     buckets: dict[tuple[int, int], list[int]] = {}
     arrays: list[np.ndarray] = []
     for i, (_, probs) in enumerate(items):
-        p = jnp.asarray(probs, jnp.float32)
+        # host-side prep: temperature on numpy (a per-structure device
+        # roundtrip here costs more than the whole bucket's sampling on
+        # high-RTT transports)
+        arr = np.asarray(probs, np.float32)
         if temperature != 1.0:
-            p = apply_temperature(p, temperature)
-        arr = np.asarray(p)
+            arr = np.asarray(apply_temperature(arr, temperature))
         arrays.append(arr)
         padded_len = -(-arr.shape[0] // pad_to) * pad_to
         buckets.setdefault((padded_len, arr.shape[1]), []).append(i)
 
-    aa = np.array(list(AA1))
+    aa_ascii = np.frombuffer("".join(AA1).encode("ascii"), np.uint8)
     out: dict[str, list[tuple]] = {}
     for (padded_len, n_classes), idxs in buckets.items():
         P = np.zeros((len(idxs), padded_len, n_classes), np.float32)
@@ -205,17 +212,23 @@ def sample_all_structures(
             keys[np.asarray(idxs)], jnp.asarray(P), jnp.asarray(M),
             n_samples, rotamer_mode,
         )
-        codes = np.asarray(codes)
+        # one vectorized byte-table lookup decodes every sequence at once
+        ascii_mat = aa_ascii[np.asarray(codes)]  # (B, S, Lp) uint8
         metrics = {k: np.asarray(v) for k, v in metrics.items()}
         for j, i in enumerate(idxs):
             pdb, length = items[i][0], arrays[i].shape[0]
+            row_bytes = ascii_mat[j, :, :length].tobytes()
+            charge = metrics["charge"][j]
+            iso = metrics["isoelectric_point"][j]
+            mw = metrics["molecular_weight"][j]
+            ext = metrics["molar_extinction_280"][j]
             out[pdb] = [
                 (
-                    "".join(aa[codes[j, s, :length]]),
-                    float(metrics["charge"][j, s]),
-                    float(metrics["isoelectric_point"][j, s]),
-                    float(metrics["molecular_weight"][j, s]),
-                    float(metrics["molar_extinction_280"][j, s]),
+                    row_bytes[s * length : (s + 1) * length].decode("ascii"),
+                    float(charge[s]),
+                    float(iso[s]),
+                    float(mw[s]),
+                    float(ext[s]),
                 )
                 for s in range(n_samples)
             ]
