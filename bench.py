@@ -20,6 +20,7 @@ through the execution cache.
 """
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -163,7 +164,9 @@ def main() -> None:
     )
     variables = jax.jit(model.init)(jax.random.key(0), x[:1])
 
-    @jax.jit
+    from timed_design_tpu.utils.xla_opts import tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def step(v, x, i):
         probs = model.apply(v, x + i.astype(jnp.bfloat16) * 1e-6)
         return probs.sum() + i.astype(jnp.float32)

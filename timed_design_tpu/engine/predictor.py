@@ -97,10 +97,17 @@ class Predictor:
             self.n_classes = module.n_classes
         self.params = replicate(params, self.mesh)
         self._sharding = batch_sharding(self.mesh)
+        from ..utils.xla_opts import tpu_compiler_options
+
         self._fn = jax.jit(
             fn,
             in_shardings=(None, self._sharding),
             out_shardings=self._sharding,
+            # +4% on the conv stack from a larger scoped-VMEM budget
+            # (utils/xla_opts.py); None on non-TPU backends
+            compiler_options=tpu_compiler_options(
+                list(self.mesh.devices.flat)
+            ),
         )
 
     def to_device(self, chunk) -> jax.Array:
