@@ -29,7 +29,7 @@ import numpy as np
 TF_CPU_BASELINE_FRAMES_PER_SEC = 23.54  # measured in-image; BASELINE.md
 
 
-def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800) -> None:
+def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800) -> list[dict]:
     """End-to-end HDF5 -> device -> artifacts throughput (--e2e mode).
 
     Measures `load_dataset_and_predict` — the reference's actual hot path
@@ -37,9 +37,12 @@ def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800) -> None:
     both storage layouts:
       * flat (this framework's row-chunked fast format),
       * tree (aposteriori schema, gzip per-residue — the interop format).
-    Prints one JSON line per layout. The compute-only number (default mode)
-    is the ceiling; VERDICT r1 asked for the e2e number to be within ~2x.
+    Returns one metric dict per layout (printed by the caller AFTER the
+    whole run succeeds, so a mid-run retry can't emit duplicate JSON
+    lines). The compute-only number (default mode) is the ceiling; VERDICT
+    r1 asked for the e2e number to be within ~2x.
     """
+    metrics: list[dict] = []
     import sys
     import tempfile
     from pathlib import Path
@@ -140,17 +143,18 @@ def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800) -> None:
                 continue
             phases = {k: round(v, 2) for k, v in result.timings.items()}
             print(f"# {layout}: phases={phases}", file=sys.stderr)
-            print(json.dumps({
+            metrics.append({
                 "metric": f"e2e_hdf5_to_artifacts_frames_per_sec_{layout}",
                 "value": round(n / dt, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(
                     n / dt / TF_CPU_BASELINE_FRAMES_PER_SEC, 1
                 ),
-            }))
+            })
+    return metrics
 
 
-def main() -> None:
+def main() -> list[dict]:
     import jax
     import jax.numpy as jnp
 
@@ -191,24 +195,25 @@ def main() -> None:
     dt_small = timed_round(n_small, 10_000)
     dt_large = timed_round(n_large, 20_000)
     frames_per_sec = (n_large - n_small) * batch / max(dt_large - dt_small, 1e-6)
-    print(
-        json.dumps(
-            {
-                "metric": "timed_inference_frames_per_sec_per_chip",
-                "value": round(frames_per_sec, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(frames_per_sec / TF_CPU_BASELINE_FRAMES_PER_SEC, 1),
-            }
-        )
-    )
+    return [
+        {
+            "metric": "timed_inference_frames_per_sec_per_chip",
+            "value": round(frames_per_sec, 1),
+            "unit": "frames/s",
+            "vs_baseline": round(frames_per_sec / TF_CPU_BASELINE_FRAMES_PER_SEC, 1),
+        }
+    ]
 
 
 def _run_with_retry(fn, attempts: int = 3) -> None:
     """The tunneled TPU transport throws transient FAILED_PRECONDITION
-    errors a few times a day; a flake must not record a bench failure."""
+    errors a few times a day; a flake must not record a bench failure.
+    Metrics are printed HERE, only after a fully successful run — printing
+    inside fn would emit duplicate JSON lines when a retry rewinds it."""
     for attempt in range(attempts):
         try:
-            fn()
+            for m in fn():
+                print(json.dumps(m))
             return
         except Exception as e:  # noqa: BLE001 - retried, re-raised at the end
             if attempt == attempts - 1:

@@ -44,6 +44,14 @@ def test_predictor_batching_and_sharding():
     np.testing.assert_allclose(probs, ref, atol=1e-5)
 
 
+def test_empty_models_list_errors(ubq_h5, tmp_path):
+    with pytest.raises(ValueError, match="no models"):
+        load_dataset_and_predict(
+            [], ubq_h5, path_to_output=tmp_path,
+            dataset_map_path=tmp_path / "datasetmap.txt",
+        )
+
+
 @pytest.mark.slow
 def test_load_dataset_and_predict_artifacts(tmp_path, monkeypatch, ubq_h5):
     monkeypatch.chdir(tmp_path)

@@ -105,6 +105,20 @@ def test_fasta_writer(tmp_path):
     assert p.read_text() == ">1abcA\nMKV\n>2xyzB\nGG\n"
 
 
+def test_consensus_writer_idempotent(tmp_path):
+    """Re-running a prediction into the same output dir must not append a
+    second copy of the consensus matrix: the txt count header and the csv
+    row count have to stay in sync."""
+    from timed_design_tpu.io import save_consensus_probs
+
+    probs = {"1abc": np.full((3, 20), 0.05), "2xyz": np.full((2, 20), 0.05)}
+    save_consensus_probs(probs, "TIMED", tmp_path)
+    path_txt, path_csv = save_consensus_probs(probs, "TIMED", tmp_path)
+    n_rows = len(path_csv.read_text().strip().splitlines())
+    assert n_rows == 5  # not 10
+    assert "1abc 3" in path_txt.read_text()
+
+
 def test_save_sampled(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     samples = {"1abcA": [("MKV", 0.5, 7.0, 375.2, 0), ("MAV", -0.5, 6.0, 333.0, 0)]}

@@ -86,3 +86,47 @@ def test_design_bad_inputs(server_url):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_design_malformed_json_gets_400_not_reset(server_url):
+    """Non-dict JSON and null fields must come back as HTTP 400 — a raised
+    TypeError inside do_POST would drop the connection instead."""
+    for payload in (b"[1, 2]", b'{"pdb": null}',
+                    b'{"pdb": "x", "n_samples": "many"}'):
+        status, body = _post(server_url + "/design", payload)
+        assert status == 400, payload
+        assert "bad JSON" in body["error"]
+    # null knobs mean "use the default": the request proceeds to PDB
+    # parsing (422 on a non-PDB body), not a dropped connection
+    status, body = _post(
+        server_url + "/design", b'{"pdb": "x", "n_samples": null}')
+    assert status == 422
+    # out-of-range knobs are rejected before touching the device
+    status, body = _post(
+        server_url + "/design",
+        json.dumps({"pdb": "x", "n_samples": 10_000_000}).encode())
+    assert status == 400 and "n_samples" in body["error"]
+    status, body = _post(
+        server_url + "/design",
+        json.dumps({"pdb": "x", "temperature": -1}).encode())
+    assert status == 400 and "temperature" in body["error"]
+
+
+def test_design_sampling_seed_semantics(server_url, ubq_pdb_gz):
+    """Two seedless requests draw DIFFERENT samples (fresh entropy per
+    request); an explicit seed reproduces exactly."""
+    pdb_text = gzip.decompress(ubq_pdb_gz.read_bytes()).decode()
+    req = {"pdb": pdb_text, "n_samples": 8, "temperature": 2.0}
+    _, a = _post(server_url + "/design", json.dumps(req).encode())
+    _, b = _post(server_url + "/design", json.dumps(req).encode())
+    assert a["seed"] != b["seed"]
+    assert [s["sequence"] for s in a["samples"]] != [
+        s["sequence"] for s in b["samples"]
+    ]
+    req["seed"] = 1234
+    _, c = _post(server_url + "/design", json.dumps(req).encode())
+    _, d = _post(server_url + "/design", json.dumps(req).encode())
+    assert c["seed"] == d["seed"] == 1234
+    assert [s["sequence"] for s in c["samples"]] == [
+        s["sequence"] for s in d["samples"]
+    ]

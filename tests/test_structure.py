@@ -229,8 +229,8 @@ def test_select_chain_invariants(ubq_pdb_gz):
 
 def test_altloc_b_only_residues_kept():
     """Residues whose only conformers carry a non-'A' altloc (e.g. 1EJG)
-    must not vanish; with multiple conformers the first one wins per atom
-    (ampal keeps the first conformer too)."""
+    must not vanish; with multiple conformers the 'A' (smallest-letter)
+    conformer wins regardless of file order."""
     from timed_design_tpu.structure import parse_pdb_string
 
     text = (
@@ -245,3 +245,34 @@ def test_altloc_b_only_residues_kept():
     assert res["1"].res_name == "VAL" and len(res["1"].atom_names) == 2
     # first conformer (A at x=30.0) wins over B
     assert res["2"].atom("N")[0] == 30.0
+
+
+def test_altloc_whole_conformer_selection():
+    """Exactly ONE conformer is kept per residue — 'A' even when it is
+    listed AFTER 'B', and atoms private to the losing conformer are dropped
+    too: a microheterogeneous GLY(altloc A)/SER(altloc B) residue must not
+    come out as a GLY carrying SER's CB/OG (conformer mixing)."""
+    from timed_design_tpu.structure import parse_pdb_string
+
+    text = "\n".join([
+        # residue 1: B listed before A -> A must still win
+        "ATOM      1  CA BALA A   1      99.000  12.000  13.000  0.50 10.00           C",
+        "ATOM      2  CA AALA A   1      11.000  12.000  13.000  0.50 10.00           C",
+        # residue 2: GLY in conformer A, SER in conformer B (microheterogeneity)
+        "ATOM      3  N  AGLY A   2      14.000  12.000  13.000  0.50 10.00           N",
+        "ATOM      4  CA AGLY A   2      15.000  12.000  13.000  0.50 10.00           C",
+        "ATOM      5  C  AGLY A   2      16.000  12.000  13.000  0.50 10.00           C",
+        "ATOM      6  O  AGLY A   2      17.000  12.000  13.000  0.50 10.00           O",
+        "ATOM      7  N  BSER A   2      14.100  12.000  13.000  0.50 10.00           N",
+        "ATOM      8  CA BSER A   2      15.100  12.000  13.000  0.50 10.00           C",
+        "ATOM      9  C  BSER A   2      16.100  12.000  13.000  0.50 10.00           C",
+        "ATOM     10  O  BSER A   2      17.100  12.000  13.000  0.50 10.00           O",
+        "ATOM     11  CB BSER A   2      18.100  12.000  13.000  0.50 10.00           C",
+        "ATOM     12  OG BSER A   2      19.100  12.000  13.000  0.50 10.00           O",
+    ])
+    s = parse_pdb_string(text, name="mixed")[0]
+    res = {r.id: r for r in s.residues}
+    assert res["1"].atom("CA")[0] == 11.0  # A wins over earlier B
+    assert res["2"].res_name == "GLY"
+    assert set(res["2"].atom_names) == {"N", "CA", "C", "O"}  # no stray CB/OG
+    assert s.sequence1() == "AG"

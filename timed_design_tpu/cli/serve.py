@@ -12,9 +12,10 @@ ui.py:916-947).
 API (JSON):
   GET  /healthz           -> {"status": "ok", "model": ..., "n_classes": ...}
   POST /design            body: PDB text (or {"pdb": "...", "n_samples": N,
-                          "temperature": T} JSON). Returns designed sequence,
-                          per-residue probabilities, residue ids, timings,
-                          and optional MC samples.
+                          "temperature": T, "seed": S} JSON; omit seed for
+                          fresh draws per request). Returns designed
+                          sequence, per-residue probabilities, residue ids,
+                          timings, the seed used, and optional MC samples.
 
 Threading: requests serialize through a lock — one compiled executable,
 deterministic latency; scale-out is processes/replicas (the TPU way), not
@@ -24,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -46,8 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+MAX_SAMPLES_PER_REQUEST = 10_000  # one request must not OOM the device
+
+
 def _design_payload(session, pdb_text: str, n_samples: int = 0,
-                    temperature: float = 0.2) -> dict:
+                    temperature: float = 0.2, seed: int | None = None) -> dict:
     from ..constants import AA1, compress_rotamer_probs
     from ..structure import parse_pdb_string
 
@@ -70,11 +75,15 @@ def _design_payload(session, pdb_text: str, n_samples: int = 0,
 
         from ..sample.sampler import apply_temperature, sample_structure
 
+        if seed is None:
+            # fresh draws per request; pass "seed" for reproducibility
+            seed = int.from_bytes(os.urandom(4), "little")
         p = apply_temperature(probs, float(temperature))
         samples = sample_structure(
-            np.asarray(p), int(n_samples), jax.random.key(0),
+            np.asarray(p), int(n_samples), jax.random.key(seed),
             rotamer_mode=rotamer,
         )
+        out["seed"] = seed
         out["samples"] = [
             {"sequence": s, "charge": round(float(c), 4),
              "isoelectric_point": round(float(pi), 4),
@@ -113,21 +122,38 @@ def make_server(session, host: str, port: int, model_name: str):
                 return
             length = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(length).decode()
-            n_samples, temperature = 0, 0.2
+            n_samples, temperature, seed = 0, 0.2, None
             pdb_text = raw
-            if raw.lstrip().startswith("{"):
+            if raw.lstrip()[:1] in ("{", "["):  # JSON body (PDB text can't start with these)
+                # TypeError included: non-dict JSON bodies ('[1,2]') and
+                # null fields (int(None)) must surface as a 400, not a
+                # dropped connection
                 try:
                     req = json.loads(raw)
                     pdb_text = req["pdb"]
-                    n_samples = int(req.get("n_samples", 0))
-                    temperature = float(req.get("temperature", 0.2))
-                except (ValueError, KeyError) as e:
+                    if not isinstance(pdb_text, str):
+                        raise TypeError("'pdb' must be a string")
+                    ns = req.get("n_samples")
+                    n_samples = 0 if ns is None else int(ns)
+                    t = req.get("temperature")
+                    temperature = 0.2 if t is None else float(t)
+                    seed = req.get("seed")
+                    seed = None if seed is None else int(seed)
+                except (ValueError, KeyError, TypeError) as e:
                     self._send(400, {"error": f"bad JSON request: {e}"})
                     return
+            if not 0 <= n_samples <= MAX_SAMPLES_PER_REQUEST:
+                self._send(400, {
+                    "error": f"n_samples must be in "
+                             f"[0, {MAX_SAMPLES_PER_REQUEST}]"})
+                return
+            if not temperature >= 0:  # also rejects NaN
+                self._send(400, {"error": "temperature must be >= 0"})
+                return
             try:
                 with lock:  # one compiled executable; serialize device work
                     payload = _design_payload(
-                        session, pdb_text, n_samples, temperature
+                        session, pdb_text, n_samples, temperature, seed
                     )
             except Exception as e:  # noqa: BLE001 - surface as HTTP 422
                 self._send(422, {"error": str(e)})

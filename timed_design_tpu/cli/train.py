@@ -42,7 +42,15 @@ def main(argv=None) -> None:
     )
     try:
         module = spec.build(bn_momentum=args.bn_momentum)
-    except TypeError:  # architectures without a momentum knob
+    except TypeError as e:
+        # only the signature mismatch falls back (constructors are **kw
+        # wrappers, so inspect.signature can't see the knob); any other
+        # TypeError from inside a builder must surface — silently training
+        # with the default momentum is the failure mode the flag prevents
+        if "bn_momentum" not in str(e):
+            raise
+        print(f"note: {args.model} has no bn_momentum knob; "
+              f"--bn_momentum ignored")
         module = spec.build()
     state = fit(
         module,

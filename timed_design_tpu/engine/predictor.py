@@ -302,6 +302,8 @@ def load_dataset_and_predict(
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
+    if not models:
+        raise ValueError("no models given")
     resolved_models: list[tuple] = []
     for m in models:
         model, model_name = _resolve_model(

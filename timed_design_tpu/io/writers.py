@@ -73,7 +73,11 @@ def save_consensus_probs(
     count header + ``{model}_consensus.csv`` stacked probabilities."""
     path_txt = Path(path_to_output) / f"{model_name}_consensus.txt"
     path_csv = Path(path_to_output) / f"{model_name}_consensus.csv"
-    with open(path_txt, "w") as d, open(path_csv, "a") as p:
+    # both files are written from the FULL consensus dict in one call (the
+    # decode step always sees the complete matrix, even on --start_batch
+    # resume), so truncate: append would duplicate rows on re-runs and
+    # desync the txt count header from the csv
+    with open(path_txt, "w") as d, open(path_csv, "w") as p:
         d.write("ignore_uncommon False\ninclude_pdbs\n##########\n")
         for pdb, predictions in pdb_to_consensus_prob.items():
             d.write(f"{pdb} {len(predictions)}\n")

@@ -287,12 +287,28 @@ def _build_structure_from_fields(
     f: dict[str, np.ndarray], name: str, remap_uncommon: bool, keep_hetatms: bool
 ) -> Structure:
     n = f["coords"].shape[0]
-    # altloc handling: keep blank/'A' outright; additionally keep any OTHER
-    # altloc letter so residues whose only conformers are B/C/... (real PDBs
-    # e.g. 1EJG) are not dropped — the per-residue first-atom-wins dedupe
-    # below then selects one conformer per atom name (ampal keeps the first
-    # conformer too).
+    # altloc handling: per residue, pick ONE conformer — 'A' if present,
+    # else the lexicographically smallest letter (so residues whose only
+    # conformers are B/C/... — real PDBs e.g. 1EJG — are kept, and file
+    # order cannot flip the choice). Blank-altloc atoms are shared across
+    # conformers and always kept. Filtering whole conformers (not
+    # first-atom-name-wins) prevents mixing atoms from two conformers —
+    # e.g. microheterogeneous residues (GLY altloc A / SER altloc B) must
+    # not end up as a GLY carrying SER's side-chain atoms.
     keep = np.ones(n, bool)
+    lettered = f["altloc"] != " "
+    lettered &= f["altloc"] != ""
+    if lettered.any():
+        chosen: dict[tuple, str] = {}
+        for i in np.nonzero(lettered)[0]:
+            key = (f["chain_id"][i], int(f["res_seq"][i]), f["icode"][i])
+            al = f["altloc"][i]
+            prev = chosen.get(key)
+            chosen[key] = al if prev is None else min(al, prev)
+        for i in np.nonzero(lettered)[0]:
+            key = (f["chain_id"][i], int(f["res_seq"][i]), f["icode"][i])
+            if f["altloc"][i] != chosen[key]:
+                keep[i] = False
     # element inference where the PDB column is absent: first alphabetic char
     # of the atom name
     element = f["element"].copy()
