@@ -86,3 +86,17 @@ def test_analyse_rotamers_cli_with_fake_scwrl(tmp_path, ubq_pdb_gz, capsys):
     assert scores[1].startswith("1ubqA,")
     assert (tmp_path / "out" / "results_scwrl_pred.txt").exists()
     assert (tmp_path / "out" / "results_scwrl_real.txt").exists()
+
+
+def test_reference_flag_aliases_parse():
+    """The reference's --output_path/--scwrl_path/--workers spellings
+    (analyse_rotamers.py:148,171,162) must be accepted for drop-in use."""
+    from timed_design_tpu.cli.analyse_rotamers import build_parser
+
+    args = build_parser().parse_args([
+        "--path_to_pred_matrix", "m.csv", "--path_to_pdb", "pdbs",
+        "--output_path", "out", "--scwrl_path", "scwrl4", "--workers", "8",
+    ])
+    assert args.path_to_output == "out"
+    assert args.path_to_scwrl == "scwrl4"
+    assert args.workers == 8

@@ -21,10 +21,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--path_to_datasetmap", type=str, default="datasetmap.txt")
     p.add_argument("--path_to_pdb", type=str, required=True,
                    help="Directory with PDB structures (local; no network fetch)")
-    p.add_argument("--path_to_output", type=str, default=".")
-    p.add_argument("--path_to_scwrl", type=str, default=None)
+    # --output_path / --scwrl_path are the reference's spellings
+    # (analyse_rotamers.py:148,171) — accepted as aliases for drop-in use
+    p.add_argument("--path_to_output", "--output_path", type=str, default=".")
+    p.add_argument("--path_to_scwrl", "--scwrl_path", type=str, default=None)
     p.add_argument("--support_old_datasetmap", action="store_true")
     p.add_argument("--plot_confusion", action="store_true")
+    p.add_argument("--workers", type=int, default=None,
+                   help="Accepted for reference compatibility; tagging is "
+                        "vectorized here and needs no process pool")
     return p
 
 
