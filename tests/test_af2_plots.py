@@ -206,3 +206,21 @@ def test_run_model_benchmark(tmp_path):
     assert m["accuracy_1"] <= m["accuracy_3"] <= 1.0
     assert "predict" in m["timings"] or m["timings"]
     assert (tmp_path / "bench" / "TIMED" / "TIMED.csv").exists()
+
+
+def test_plot_patterns_driver(tmp_path):
+    """plot_patterns (reference design_utils/analyse.py:34-41) emits the
+    mean/var histogram from {model}.csv plus one heatmap per structure."""
+    import numpy as np
+    from timed_design_tpu.analyse import plot_patterns
+
+    rng = np.random.default_rng(3)
+    P = rng.dirichlet(np.ones(20), size=30)
+    np.savetxt(tmp_path / "modelY.csv", P, delimiter=",")
+    cons = {"1abc": rng.dirichlet(np.ones(20), size=10),
+            "2xyz": rng.dirichlet(np.ones(20), size=12)}
+    paths = plot_patterns(cons, "modelY", tmp_path,
+                          prediction_csv=tmp_path / "modelY.csv")
+    assert len(paths) == 3
+    for p in paths:
+        assert p.exists() and p.stat().st_size > 1000

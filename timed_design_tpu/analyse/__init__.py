@@ -47,6 +47,7 @@ from .plots import (  # noqa: F401
     create_sequence_logo,
     plot_cm,
     plot_mean_var_probs,
+    plot_patterns,
     plot_sequence_heatmap,
 )
 from .netsolp import (  # noqa: F401

@@ -178,3 +178,26 @@ def plot_sequence_heatmap(prediction_matrix: np.ndarray, title: str, output_path
     fig.savefig(out)
     plt.close(fig)
     return out
+
+
+def plot_patterns(
+    pdb_to_consensus_prob: dict,
+    model_name: str,
+    output_path: Path = Path("."),
+    prediction_csv: Path | None = None,
+) -> list[Path]:
+    """Driver over both pattern plots (design_utils/analyse.py:34-41): the
+    whole-run mean/var histograms from ``{model}.csv`` plus per-structure
+    consensus-probability heatmaps."""
+    output_path = Path(output_path)
+    output_path.mkdir(parents=True, exist_ok=True)
+    csv = Path(prediction_csv) if prediction_csv else Path(f"{model_name}.csv")
+    paths = []
+    if csv.exists():
+        P = np.genfromtxt(csv, delimiter=",", dtype=np.float16)
+        paths.append(plot_mean_var_probs(P, model_name, output_path))
+    for pdb, probs in pdb_to_consensus_prob.items():
+        paths.append(
+            plot_sequence_heatmap(probs, f"{model_name}_{pdb}", output_path)
+        )
+    return paths
