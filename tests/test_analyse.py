@@ -269,3 +269,35 @@ def test_analyse_cherrypicked(ubq_pdb_gz, tmp_path):
     assert (out / "1ubq_ca_deviation.png").exists()
     assert (out / "1ubq_entropy.png").exists()
     assert (out / "1ubq_cherrypicked.csv").exists()
+
+
+def test_calculate_metrics_true_topk_with_probabilities():
+    """With probability rows, accuracy_2..5 are true top-k; without them
+    the reference's one-hot form is kept (argmax ties broken toward class
+    0/'A' — meaningless beyond rank 1, documented)."""
+    import numpy as np
+
+    from timed_design_tpu.analyse import calculate_metrics
+
+    # 4 residues; model ranks the true residue 2nd every time
+    real = "MKYW"
+    pred = "AAAA"  # argmax always A (wrong)
+    P = np.full((4, 20), 1e-6)
+    from timed_design_tpu.constants import AA1_TO_INT
+
+    for i, r in enumerate(real):
+        P[i, AA1_TO_INT["A"]] = 0.6  # rank 1: A
+        P[i, AA1_TO_INT[r]] = 0.3    # rank 2: the true residue
+    m = calculate_metrics({"x": pred}, {"x": real}, {"x": P})
+    assert m["accuracy_1"] == 0.0
+    assert m["accuracy_2"] == 1.0
+    assert m["accuracy_5"] == 1.0
+    # one-hot fallback: every row ranks A,C,D,E... after the argmax, so
+    # accuracy_2 is 0 here (true classes M/K/Y/W are never rank 2)
+    m0 = calculate_metrics({"x": pred}, {"x": real})
+    assert m0["accuracy_2"] == 0.0
+    # misaligned probabilities must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="align"):
+        calculate_metrics({"x": pred}, {"x": real}, {"x": P[:2]})

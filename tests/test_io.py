@@ -423,3 +423,79 @@ def test_loader_shuffle_per_epoch(ubq_flat_h5, ubq_h5):
             for i in range(76):
                 j = k0[Xs[i].tobytes()]
                 np.testing.assert_array_equal(ys[i], y0[j])
+
+
+def test_residue_sort_key_insertion_codes():
+    """One '100A'-style id must not demote the chain to lexicographic order
+    ('10' < '2')."""
+    from timed_design_tpu.io.h5frames import _residue_sort_key
+
+    ids = ["100A", "2", "10", "100", "9", "100B", "-1"]
+    assert sorted(ids, key=_residue_sort_key) == [
+        "-1", "2", "9", "10", "100", "100A", "100B"
+    ]
+
+
+def test_tree_map_order_with_insertion_codes(tmp_path):
+    """create_flat_dataset_map orders '100A' after '100' and numerically
+    throughout, even though int('100A') raises."""
+    import h5py
+
+    p = tmp_path / "ins.hdf5"
+    with h5py.File(p, "w") as f:
+        ch = f.create_group("1abc").create_group("A")
+        for rid in ["2", "10", "100", "100A", "9"]:
+            d = ch.create_dataset(rid, data=np.zeros((2, 2, 2, 2), np.float32))
+            d.attrs["label"] = "ALA"
+    dmap, _ = create_flat_dataset_map(p)
+    assert [rid for _, _, rid, _ in dmap.entries] == [
+        "2", "9", "10", "100", "100A"
+    ]
+
+
+def test_flat_map_unknown_label_raises(tmp_path):
+    """The flat layout must fail as loudly as the tree layout on labels that
+    are neither standard nor in UNCOMMON_RESIDUE_DICT."""
+    import h5py
+
+    p = tmp_path / "bad.hdf5"
+    with h5py.File(p, "w") as f:
+        f.attrs["layout"] = "flat"
+        f.create_dataset("frames", data=np.zeros((1, 2, 2, 2, 2), np.float32))
+        f.create_dataset("labels", data=np.zeros((1, 20), np.int8))
+        st = h5py.string_dtype()
+        f.create_dataset("index_pdb", data=["1abc"], dtype=st)
+        f.create_dataset("index_chain", data=["A"], dtype=st)
+        f.create_dataset("index_residue", data=["1"], dtype=st)
+        f.create_dataset("index_label", data=["ZZZ"], dtype=st)
+    with pytest.raises(ValueError, match="natural amino acid"):
+        create_flat_dataset_map(p)
+
+
+def test_loader_shuffle_resume_incompatible(ubq_h5):
+    dmap, _ = create_flat_dataset_map(ubq_h5)
+    with pytest.raises(ValueError, match="incompatible with shuffle"):
+        FrameBatchLoader(ubq_h5, dmap, batch_size=8, start_batch=2,
+                         shuffle=True)
+
+
+def test_loader_early_break_stops_producer(ubq_h5):
+    """Abandoning the iterator mid-stream must terminate the prefetch
+    thread (it previously blocked forever in q.put, leaking the thread and
+    an open HDF5 read handle)."""
+    import threading
+    import time
+
+    dmap, _ = create_flat_dataset_map(ubq_h5)
+    before = set(threading.enumerate())
+    loader = FrameBatchLoader(ubq_h5, dmap, batch_size=8, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # GeneratorExit -> finally: cancel + join
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        extra = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"leaked threads: {extra}"

@@ -57,9 +57,23 @@ def test_dihedral_known_values():
     p0, p1, p2 = [0.0, 1, 0], [0, 0, 0], [1, 0, 0]
     assert dihedral(p0, p1, p2, [1.0, 1, 0]) == pytest.approx(0.0, abs=1e-9)
     assert dihedral(p0, p1, p2, [1.0, -1, 0]) == pytest.approx(180.0, abs=1e-9)
-    # +90 degrees
-    assert dihedral(p0, p1, p2, [1.0, 0, -1]) == pytest.approx(90.0, abs=1e-6) or \
-        dihedral(p0, p1, p2, [1.0, 0, 1]) == pytest.approx(90.0, abs=1e-6)
+    # IUPAC sign, pinned exactly (no either-sign hedging): viewed from p1
+    # toward p2, p0 projects left (+y) and p3=+z up; left->up is clockwise
+    # = +90. The mirror case is -90 -> 270 in [0, 360).
+    assert dihedral(p0, p1, p2, [1.0, 0, 1]) == pytest.approx(90.0, abs=1e-6)
+    assert dihedral(p0, p1, p2, [1.0, 0, -1]) == pytest.approx(270.0, abs=1e-6)
+
+
+def test_dihedral_iupac_sign_on_real_helix(ubq_pdb_gz):
+    """Backbone phi in ubiquitin's alpha-helix (residues 23-34) must be
+    ~-60 deg (~300 in [0,360)) — the sign-flipped version measured ~+60,
+    which mirrors every gauche+ rotamer into gauche-."""
+    s = load_pdb(ubq_pdb_gz)
+    res = [r for r in s.residues if r.is_standard_aa]
+    for i in (25, 26, 27):
+        phi = float(dihedral(res[i - 1].atom("C"), res[i].atom("N"),
+                             res[i].atom("CA"), res[i].atom("C")))
+        assert 270.0 < phi < 330.0, f"phi(res {i}) = {phi}"
 
 
 def test_chi_bins():
@@ -276,3 +290,38 @@ def test_altloc_whole_conformer_selection():
     assert res["2"].res_name == "GLY"
     assert set(res["2"].atom_names) == {"N", "CA", "C", "O"}  # no stray CB/OG
     assert s.sequence1() == "AG"
+
+
+def test_interleaved_chain_records_res_index():
+    """File order A1, B1, A2: `.residues` iterates chain-grouped (A1, A2,
+    B1), and res_index must follow THAT order — previously it kept
+    file-encounter order, so chain B's property value landed on chain A's
+    second residue."""
+    from timed_design_tpu.structure import parse_pdb_string
+
+    def atom(serial, an, rn, ch, seq, x):
+        return (f"ATOM  {serial:5d}  {an:<3s} {rn} {ch}{seq:4d}    "
+                f"{x:8.3f}{1.0:8.3f}{0.0:8.3f}  1.00 10.00           {an[0]}")
+
+    text = "\n".join([
+        atom(1, "N", "ALA", "A", 1, 1.0), atom(2, "CA", "ALA", "A", 1, 1.1),
+        atom(3, "C", "ALA", "A", 1, 1.2), atom(4, "O", "ALA", "A", 1, 1.3),
+        atom(5, "N", "LYS", "B", 1, 2.0), atom(6, "CA", "LYS", "B", 1, 2.1),
+        atom(7, "C", "LYS", "B", 1, 2.2), atom(8, "O", "LYS", "B", 1, 2.3),
+        atom(9, "N", "SER", "A", 2, 3.0), atom(10, "CA", "SER", "A", 2, 3.1),
+        atom(11, "C", "SER", "A", 2, 3.2), atom(12, "O", "SER", "A", 2, 3.3),
+    ])
+    s = parse_pdb_string(text, name="ilv")[0]
+    res = [r for r in s.residues if r.is_standard_aa]
+    assert [r.res_name for r in res] == ["ALA", "SER", "LYS"]
+    assert [r.std_index for r in res] == [0, 1, 2]
+    # atoms of SER (chain A res 2, x=3.x) must carry res_index 1
+    import numpy as np
+
+    ser_atoms = s.res_index[np.isclose(s.coords[:, 0], 3.1)]
+    assert (ser_atoms == 1).all()
+    lys_atoms = s.res_index[np.isclose(s.coords[:, 0], 2.1)]
+    assert (lys_atoms == 2).all()
+    # backbone_arrays rows follow residues order too
+    bb = s.backbone_arrays()
+    np.testing.assert_allclose(bb["CA"][:, 0], [1.1, 3.1, 2.1])

@@ -1,4 +1,5 @@
 """Voxel layer: codec parsing, frame convention, voxelizer invariants."""
+from pathlib import Path
 import numpy as np
 import pytest
 
@@ -235,3 +236,76 @@ def test_atom_filters(ubq_pdb_gz):
     assert (fa_all.atom_channel == 3).sum() > 60
     with pytest.raises(ValueError):
         structure_to_frame_atoms(s, codec, atom_filter="sidechain")
+
+
+def test_invalid_backbone_residue_dropped():
+    """A residue with an incomplete N/CA/C backbone must not become a frame
+    center (it previously got an identity frame at the world origin with a
+    real label); its present atoms still feed neighbours' environments."""
+    import warnings
+
+    import numpy as np
+
+    from timed_design_tpu.structure import parse_pdb_string
+    from timed_design_tpu.voxel import Codec, structure_to_frame_atoms
+
+    def mk(resname, seq, atoms):
+        return "\n".join(
+            f"ATOM  {i:5d}  {an:<3s} {resname} A{seq:4d}    "
+            f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00 10.00           {an[0]}"
+            for i, (an, (x, y, z)) in enumerate(atoms, 1)
+        )
+
+    good = [("N", (0.0, 1.4, 0.0)), ("CA", (0.0, 0.0, 0.0)),
+            ("C", (1.5, 0.0, 0.0)), ("O", (2.1, 1.0, 0.0))]
+    # residue 2 is missing CA -> no frame basis
+    bad = [("N", (3.0, 1.4, 0.0)), ("C", (4.5, 0.0, 0.0))]
+    good2 = [(an, (x + 6.0, y, z)) for an, (x, y, z) in good]
+    text = "\n".join([mk("ALA", 1, good), mk("GLY", 2, bad),
+                      mk("SER", 3, good2)])
+    s = parse_pdb_string(text, name="t")[0]
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fa = structure_to_frame_atoms(s, Codec.CNOCACB())
+    assert fa.labels == ["ALA", "SER"]
+    assert fa.residue_ids == ["1", "3"]
+    assert fa.valid.all() and fa.ca.shape == (2, 3) and fa.rot.shape == (2, 3, 3)
+    assert any("incomplete backbone" in str(w.message) for w in rec)
+    # the bad residue's N and C are still in the environment atom soup
+    assert np.isclose(fa.atoms_xyz[:, 0], 3.0).any()
+
+
+def test_property_channel_never_matches_element():
+    """Element 'P' (phosphorus) must not scatter into the 'P' polarity
+    property channel (codec.py atom_channel)."""
+    from timed_design_tpu.voxel import Codec
+
+    c = Codec.CNOCACBP()
+    assert c.atom_channel("P", "P") == -1
+    assert c.atom_channel("OG", "O") == c.channels.index("O")
+    q = Codec.CNOCACBQ()
+    assert q.atom_channel("P", "P") == -1
+
+
+def test_flat_compression_honored(tmp_path):
+    """compression=None -> layout default (tree gzip, flat none); an
+    explicit True/False is honored for both layouts."""
+    import h5py
+
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    src = Path(__file__).parent / "testing_files" / "1ubq.pdb1.gz"
+    p1 = make_frame_dataset([src], tmp_path / "flat_default.hdf5",
+                            layout="flat")
+    p2 = make_frame_dataset([src], tmp_path / "flat_gz.hdf5",
+                            layout="flat", compression=True)
+    p3 = make_frame_dataset([src], tmp_path / "tree_none.hdf5",
+                            compression=False)
+    with h5py.File(p1) as f:
+        assert f["frames"].compression is None
+    with h5py.File(p2) as f:
+        assert f["frames"].compression == "gzip"
+    with h5py.File(p3) as f:
+        g = f["1ubq"]
+        ch = g[list(g.keys())[0]]
+        assert ch[list(ch.keys())[0]].compression is None

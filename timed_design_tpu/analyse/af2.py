@@ -19,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..structure.geometry import gdt as _gdt, superpose
+from ..structure.geometry import superpose
 from ..structure.pdb import Structure, load_pdb
 from .structure_analysis import (
     calculate_prediction_entropy,
@@ -132,8 +132,12 @@ def analyse_refold(
     if ref_ca.shape != fold_ca.shape or np.isnan(ref_ca).any() or np.isnan(fold_ca).any():
         return RefoldResult(design_name, float("nan"),
                             {c: float("nan") for c in GDT_CUTOFFS}, mean_plddt)
-    _, rmsd = superpose(fold_ca, ref_ca)
-    return RefoldResult(design_name, rmsd, _gdt(fold_ca, ref_ca, GDT_CUTOFFS), mean_plddt)
+    # one superposition serves both metrics (the per-cutoff GDT fractions
+    # come from the same aligned distance vector as the RMSD)
+    aligned, rmsd = superpose(fold_ca, ref_ca)
+    dists = np.linalg.norm(aligned - ref_ca, axis=1)
+    gdt_scores = {c: float((dists <= c).mean()) for c in GDT_CUTOFFS}
+    return RefoldResult(design_name, rmsd, gdt_scores, mean_plddt)
 
 
 def analyse_af2_folder(

@@ -186,21 +186,58 @@ def sequences_to_labels(
 
 
 def calculate_metrics(
-    pdb_to_sequence: dict[str, str], pdb_to_real_sequence: dict[str, str]
+    pdb_to_sequence: dict[str, str],
+    pdb_to_real_sequence: dict[str, str],
+    pdb_to_probability: dict[str, np.ndarray] | None = None,
 ) -> dict:
-    """Reference-shaped metric bundle (analyse_utils.py:628-728)."""
+    """Reference-shaped metric bundle (analyse_utils.py:628-728).
+
+    Without ``pdb_to_probability``, accuracy_2..5 are computed from one-hot
+    argmax predictions exactly as the reference does (analyse_utils.py:
+    665-676 feeds sequence one-hots to top_k_accuracy_score) — there the
+    "top-k" ranking beyond rank 1 is a stable-argsort tie-break over 19
+    zero scores, i.e. biased toward alphabetically-early residues. Pass the
+    decoded (R, 20) probability rows to get TRUE top-k accuracy instead.
+    """
     y_true, y_pred = sequences_to_labels(pdb_to_sequence, pdb_to_real_sequence)
-    onehot_pred = np.eye(20)[y_pred]
+    scores = np.eye(20)[y_pred]
+    if pdb_to_probability is not None:
+        from ..constants import AA1_TO_INT
+
+        # mirror sequences_to_labels' row selection exactly (shared pdbs,
+        # standard letters only) so score rows align with y_true
+        rows = []
+        for pdb, pred_seq in pdb_to_sequence.items():
+            if pdb not in pdb_to_real_sequence:
+                continue
+            P = np.asarray(pdb_to_probability[pdb])
+            if P.shape[0] < len(pred_seq):
+                raise ValueError(
+                    f"{pdb}: {P.shape[0]} probability rows do not align "
+                    f"with a {len(pred_seq)}-residue sequence"
+                )
+            for i, (r_true, r_pred) in enumerate(
+                zip(pdb_to_real_sequence[pdb], pred_seq)
+            ):
+                if r_true in AA1_TO_INT and r_pred in AA1_TO_INT:
+                    rows.append(P[i])
+        scores = np.asarray(rows)
+        if scores.shape != (len(y_true), 20):
+            raise ValueError(
+                f"probability rows {scores.shape} do not align with the "
+                f"{len(y_true)} scored residues (20 classes required)"
+            )
     labels = list(AA1)
+    prec, rec = precision_recall_f1(y_true, y_pred, 20)[:2]
     return {
         "report": classification_report(y_true, y_pred, labels),
         "accuracy_1": accuracy(y_true, y_pred),
-        "accuracy_2": top_k_accuracy(y_true, onehot_pred, 2),
-        "accuracy_3": top_k_accuracy(y_true, onehot_pred, 3),
-        "accuracy_4": top_k_accuracy(y_true, onehot_pred, 4),
-        "accuracy_5": top_k_accuracy(y_true, onehot_pred, 5),
-        "precision": float(precision_recall_f1(y_true, y_pred, 20)[0].mean()),
-        "recall": float(precision_recall_f1(y_true, y_pred, 20)[1].mean()),
+        "accuracy_2": top_k_accuracy(y_true, scores, 2),
+        "accuracy_3": top_k_accuracy(y_true, scores, 3),
+        "accuracy_4": top_k_accuracy(y_true, scores, 4),
+        "accuracy_5": top_k_accuracy(y_true, scores, 5),
+        "precision": float(prec.mean()),
+        "recall": float(rec.mean()),
         "count_labels": dict(zip(*np.unique(y_true, return_counts=True))),
         "count_pred": dict(zip(*np.unique(y_pred, return_counts=True))),
         "bias": prediction_bias(y_true, y_pred, labels),

@@ -46,7 +46,12 @@ def run_model_benchmark(
             dataset_map_path=out / "datasetmap.txt",
             allow_random_weights=allow_random_weights,
         )
-        m = calculate_metrics(res.pdb_to_sequence, res.pdb_to_real_sequence)
+        # pass probabilities for TRUE top-k (20-class heads only; rotamer
+        # probabilities are 338-wide and keep the reference's one-hot form)
+        probs = None if predict_rotamers else res.pdb_to_probability
+        m = calculate_metrics(
+            res.pdb_to_sequence, res.pdb_to_real_sequence, probs
+        )
         results[str(model)] = {
             "accuracy_1": m["accuracy_1"],
             "accuracy_3": m["accuracy_3"],

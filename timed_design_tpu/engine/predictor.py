@@ -283,6 +283,17 @@ def load_dataset_and_predict(
 
     with timer.phase("datasetmap"):
         if Path(dataset_map_path).exists():
+            # the engine needs the per-residue ("old") format for frame
+            # lookup; an SRB/new-format map would die deep in the parser
+            # with an IndexError — detect and explain instead
+            head = Path(dataset_map_path).read_text(errors="replace")[:64]
+            if head.startswith("ignore_uncommon"):
+                raise ValueError(
+                    f"{dataset_map_path} is an SRB/new-format datasetmap "
+                    "(count rows, no residue labels); prediction needs the "
+                    "per-residue map. Delete it to regenerate, or point "
+                    "dataset_map_path elsewhere."
+                )
             dmap = load_datasetmap(Path(dataset_map_path), is_old=True)
         else:
             dmap, _ = create_flat_dataset_map(
@@ -444,11 +455,17 @@ def predict_structure(
 
     if not isinstance(structure_or_path, Structure):
         structure_or_path = load_pdb(Path(structure_or_path))
-    resolved, _ = _resolve_model(
+    resolved, model_name = _resolve_model(
         model, allow_random_weights=allow_random_weights
     )
     if codec is None:
-        codec = Codec.CNOCACB()
+        # registry models know their codec (TIMED_Charge needs the 6-channel
+        # CNOCACBQ — hardcoding CNOCACB here built 5-channel frames for it);
+        # same resolution DesignSession uses
+        from ..models import MODEL_REGISTRY
+
+        spec = MODEL_REGISTRY.get(model_name)
+        codec = Codec.from_string(spec.codec) if spec else Codec.CNOCACB()
     elif isinstance(codec, str):
         codec = Codec.from_string(codec)
     fa = structure_to_frame_atoms(structure_or_path, codec)

@@ -44,7 +44,13 @@ class DesignSession:
             codec = spec.codec if spec else "CNOCACB"
         self.codec = Codec.from_string(codec) if isinstance(codec, str) else codec
         self.gaussian = gaussian
-        self.predictor = Predictor(resolved, batch_size=batch_size, mesh=mesh)
+        # transfer_dtype follows compute_dtype: bf16 serving halves the
+        # host->device frame bytes (the win Predictor documents; it was
+        # silently dropped here, sending f32 over the wire)
+        self.predictor = Predictor(
+            resolved, batch_size=batch_size, mesh=mesh,
+            transfer_dtype=compute_dtype,
+        )
 
     @property
     def n_classes(self) -> int:

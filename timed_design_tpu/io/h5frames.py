@@ -61,6 +61,19 @@ class FrameDatasetMetadata:
         return meta
 
 
+def _residue_sort_key(rid: str) -> tuple:
+    """Natural order for residue ids, per id: numeric part then insertion
+    code ('2' < '10' < '100' < '100A' < '100B'). A single id like '100A'
+    must not demote the WHOLE chain to lexicographic order (where
+    '10' < '2')."""
+    import re
+
+    m = re.match(r"^\s*(-?\d+)(.*)$", rid)
+    if m:
+        return (0, int(m.group(1)), m.group(2))
+    return (1, 0, rid)
+
+
 def get_pdb_keys_to_filter(pdb_key_path: Path, file_extension: str = ".txt") -> list[str]:
     """Collect 4-letter PDB codes from blacklist files (utils.py:284-315)."""
     files = list(Path(pdb_key_path).glob(f"**/*{file_extension}"))
@@ -108,7 +121,19 @@ def create_flat_dataset_map(
                         continue
                     raise ValueError(f"PDB code {pdb_code} is blacklisted.")
                 if label not in AA3:
-                    label = UNCOMMON_RESIDUE_DICT.get(label, label)
+                    # same contract as the tree path below: remap with a
+                    # warning, fail loudly on anything unknown rather than
+                    # flowing bogus labels into the datasetmap
+                    if label in UNCOMMON_RESIDUE_DICT:
+                        warnings.warn(
+                            f"{label} is not a standard residue; converted "
+                            f"to {UNCOMMON_RESIDUE_DICT[label]}."
+                        )
+                        label = UNCOMMON_RESIDUE_DICT[label]
+                    else:
+                        raise ValueError(
+                            f"Expected natural amino acid, but got {label}."
+                        )
                 entries.append((pdb_code, chain, rid, label))
                 pdbs.add(pdb_code)
             return DatasetMap(
@@ -132,10 +157,7 @@ def create_flat_dataset_map(
                 )
             for chain_id in f[pdb_code]:
                 chain = f[pdb_code][chain_id]
-                try:
-                    residue_ids = sorted(chain.keys(), key=int)
-                except ValueError:
-                    residue_ids = sorted(chain.keys())
+                residue_ids = sorted(chain.keys(), key=_residue_sort_key)
                 for rid in residue_ids:
                     label = chain[rid].attrs["label"]
                     label = label.decode() if isinstance(label, bytes) else str(label)
@@ -184,6 +206,14 @@ class FrameBatchLoader:
         training; inference keeps map order. Flat-layout reads go through
         the sorted-gather path when shuffled."""
         assert dmap.is_old, "FrameBatchLoader requires a per-residue dataset map"
+        if shuffle and start_batch:
+            # a resumed run would skip start_batch batches of a FRESH
+            # permutation — neither continuing the crashed epoch nor
+            # covering the data (some frames twice, others never)
+            raise ValueError(
+                "start_batch resume is incompatible with shuffle=True: "
+                "the skipped batches would come from a new permutation."
+            )
         self.dataset_path = Path(dataset_path)
         self.entries = dmap.entries
         self.shuffle = shuffle
@@ -307,7 +337,7 @@ class FrameBatchLoader:
                 for i, _, buf, cshape, parts in frames:
                     if parts:
                         self._assemble_chunks(buf, cshape, parts)
-                    if buf is not X[i]:
+                    if buf.base is not X:
                         X[i] = buf  # dtype cast (bool/f64 datasets)
             except ValueError:  # corrupt chunk: re-read through HDF5 proper
                 for i, key, _, _, _ in frames:
@@ -361,12 +391,25 @@ class FrameBatchLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
 
         perm = (
             self._shuffle_rng.permutation(len(self.entries))
             if self.shuffle
             else None
         )
+
+        def put(item) -> bool:
+            # bounded-wait put so an abandoned iterator (consumer breaks
+            # mid-stream) can't leave the producer blocked forever on a
+            # full queue, leaking the thread and the open h5 handle
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # ANY producer failure must reach the consumer — dying without
@@ -380,7 +423,8 @@ class FrameBatchLoader:
                         if perm is not None:
                             rows = rows[perm]
                         for index in range(self.start_batch, self.n_batches):
-                            q.put(self._read_batch_flat(f, rows, index))
+                            if not put(self._read_batch_flat(f, rows, index)):
+                                return
                     else:
                         entries = (
                             [self.entries[i] for i in perm]
@@ -388,23 +432,26 @@ class FrameBatchLoader:
                             else self.entries
                         )
                         for index in range(self.start_batch, self.n_batches):
-                            q.put(self._read_batch(f, entries, index))
+                            if not put(self._read_batch(f, entries, index)):
+                                return
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer
-                q.put(("__producer_error__", e))
+                put(("__producer_error__", e))
                 return
-            q.put(stop)
+            put(stop)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__producer_error__":
-                th.join()
-                raise item[1]
-            yield item
-        th.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] == "__producer_error__":
+                    raise item[1]
+                yield item
+        finally:
+            cancel.set()
+            th.join()
 
 
 def convert_to_flat(

@@ -14,7 +14,11 @@ from pathlib import Path
 
 import numpy as np
 
-from .datasetmap import DatasetMap, save_srb_datasetmap  # noqa: F401 (re-export)
+from .datasetmap import (  # noqa: F401 (re-export)
+    SRB_HEADER,
+    DatasetMap,
+    save_srb_datasetmap,
+)
 
 
 def save_dict_to_fasta(
@@ -78,7 +82,7 @@ def save_consensus_probs(
     # resume), so truncate: append would duplicate rows on re-runs and
     # desync the txt count header from the csv
     with open(path_txt, "w") as d, open(path_csv, "w") as p:
-        d.write("ignore_uncommon False\ninclude_pdbs\n##########\n")
+        d.write(SRB_HEADER)
         for pdb, predictions in pdb_to_consensus_prob.items():
             d.write(f"{pdb} {len(predictions)}\n")
             np.savetxt(p, np.asarray(predictions), delimiter=",")

@@ -21,19 +21,23 @@ from .pdb import Structure
 def dihedral(p0, p1, p2, p3) -> np.ndarray:
     """Dihedral angle(s) in degrees, in [0, 360).
 
-    Accepts (..., 3) arrays; fully batched. Convention: IUPAC praxeological
-    dihedral about the p1-p2 axis, mapped to [0, 360) so chi-bin boundaries
-    at 120/240 are trivial (bins {1,2,3} = [0,120), [120,240), [240,360)).
+    Accepts (..., 3) arrays; fully batched. Convention: the IUPAC
+    (praxeolitic) signed dihedral about the p1-p2 axis — an alpha-helix
+    phi computes to ~-60 deg == ~300 here — mapped to [0, 360) so chi-bin
+    boundaries at 120/240 are trivial (bins {1,2,3} = [0,120), [120,240),
+    [240,360)). The sign matters: gauche+ (+60, bin 1) and gauche-
+    (-60 -> 300, bin 3) must not swap, or every tagged rotamer ground
+    truth mirrors relative to the reference's ampal-derived labels.
     """
     p0, p1, p2, p3 = (np.asarray(p, dtype=np.float64) for p in (p0, p1, p2, p3))
-    b0 = p1 - p0
+    b0 = p0 - p1  # praxeolitic: first vector points AWAY from the axis
     b1 = p2 - p1
     b2 = p3 - p2
-    n1 = np.cross(b0, b1)
-    n2 = np.cross(b1, b2)
-    m1 = np.cross(n1, b1 / np.linalg.norm(b1, axis=-1, keepdims=True))
-    x = (n1 * n2).sum(-1)
-    y = (m1 * n2).sum(-1)
+    b1 = b1 / np.linalg.norm(b1, axis=-1, keepdims=True)
+    v = b0 - (b0 * b1).sum(-1, keepdims=True) * b1
+    w = b2 - (b2 * b1).sum(-1, keepdims=True) * b1
+    x = (v * w).sum(-1)
+    y = (np.cross(b1, v) * w).sum(-1)
     ang = np.degrees(np.arctan2(y, x))
     return np.mod(ang, 360.0)
 

@@ -375,6 +375,22 @@ def _build_structure_from_fields(
         res.bfactors = f["bfactors"][ai]
         del res._atom_idx  # type: ignore[attr-defined]
 
+    # std_index was assigned in file-ENCOUNTER order, but `.residues`
+    # iterates chain-grouped: for interleaved chain records (A1,B1,A2)
+    # the two orders diverge and res_index would point at the wrong
+    # residue (e.g. chain B's polarity value voxelized into chain A's
+    # property channel). Renumber both to the residues-list order.
+    old_to_new = np.full(std_res_counter + 1, -1, np.int64)
+    new_i = -1
+    for ch in chains.values():
+        for res in ch.residues:
+            if res.is_standard_aa and res.std_index is not None:
+                new_i += 1
+                old_to_new[res.std_index] = new_i
+                res.std_index = new_i
+    if flat_ri:
+        flat_ri = old_to_new[np.asarray(flat_ri, np.int64)].tolist()
+
     fi = np.asarray(flat_idx, int)
     return Structure(
         name=name,

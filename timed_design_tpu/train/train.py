@@ -144,14 +144,27 @@ def fit(
     step = 0
     for _ in range(epochs):
         for X, y, n_valid in loader:
+            if step == 0 and y.shape[1] != n_classes:
+                raise ValueError(
+                    f"loader yields {y.shape[1]}-class labels but "
+                    f"n_classes={n_classes} — wrong dataset for this head?"
+                )
             # Drop loader padding: zero frames with zero labels contribute no
             # gradient but DO pollute BatchNorm batch statistics (and dilute
             # the metrics) — with small datasets badly enough to wreck
-            # eval-mode predictions. Costs at most one extra compile for the
-            # final partial batch shape (rounded to the data-axis size).
+            # eval-mode predictions. The batch can only shrink to a multiple
+            # of the data-axis size, so fill the up-to-(n_data-1) rows that
+            # must remain with REPEATS of valid rows: real frames with real
+            # labels keep BN statistics clean (repeats only slightly
+            # overweight those frames). Costs at most one extra compile for
+            # the final partial batch shape.
             if n_valid < X.shape[0]:
                 keep = max(n_data, -(-n_valid // n_data) * n_data)
-                X, y = X[:keep], y[:keep]
+                X, y = np.array(X[:keep]), np.array(y[:keep])
+                if keep > n_valid:
+                    src = np.arange(keep - n_valid) % n_valid
+                    X[n_valid:] = X[src]
+                    y[n_valid:] = y[src]
             rng, sub = jax.random.split(rng)
             x_dev = jax.device_put(jnp.asarray(X, jnp.float32), bsh)
             y_dev = jax.device_put(jnp.asarray(y, jnp.float32), bsh)

@@ -83,7 +83,11 @@ class Codec:
             return self.channels.index("CA")
         if atom_name == "CB" and "CB" in self.channels:
             return self.channels.index("CB")
-        if element in self.channels:
+        # P/Q are PROPERTY channels (polarity/charge), never element
+        # channels: a phosphorus atom (element 'P', e.g. from a remapped
+        # SEP/TPO under atom_filter='all') must not scatter raw density
+        # into the polarity channel
+        if element in self.channels and element not in ("P", "Q"):
             return self.channels.index(element)
         return -1
 

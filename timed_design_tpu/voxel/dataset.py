@@ -60,7 +60,7 @@ def make_frame_dataset(
     gaussian: bool = True,
     encode_cb: bool = True,
     voxelise_all_states: bool = False,
-    compression: bool = True,
+    compression: bool | None = None,
     atom_filter: str = "backbone",
     layout: str = "tree",
     chunk_rows: int = 512,
@@ -89,6 +89,12 @@ def make_frame_dataset(
     if layout not in ("tree", "flat"):
         raise ValueError(f"layout must be 'tree' or 'flat', got {layout!r}")
     output_path = Path(output_path)
+    # compression=None means the layout's natural default: gzip for the
+    # aposteriori tree schema, uncompressed for the flat fast layout (its
+    # read_direct streaming is the point). An explicit True/False is
+    # honored for BOTH layouts rather than silently ignored.
+    if compression is None:
+        compression = layout == "tree"
     comp = dict(compression="gzip") if compression else {}
     dims = (voxels_per_side,) * 3 + (codec.n_channels,)
 
@@ -103,7 +109,7 @@ def make_frame_dataset(
         f.attrs["voxels_as_gaussian"] = bool(gaussian)
         if layout == "flat":
             f.attrs["layout"] = "flat"
-            writer = _FlatWriter(f, dims, chunk_rows)
+            writer = _FlatWriter(f, dims, chunk_rows, comp)
 
         for path in structure_paths:
             structures = load_pdb(Path(path), all_states=voxelise_all_states)
@@ -140,11 +146,12 @@ class _FlatWriter:
     """Incremental writer for the flat layout: resizable row-chunked
     `/frames` + `/labels` + string `/index_*` columns."""
 
-    def __init__(self, f: h5py.File, dims: tuple, chunk_rows: int):
+    def __init__(self, f: h5py.File, dims: tuple, chunk_rows: int,
+                 comp: dict | None = None):
         self.f = f
         self.frames = f.create_dataset(
             "frames", shape=(0, *dims), maxshape=(None, *dims),
-            dtype=np.float32, chunks=(chunk_rows, *dims),
+            dtype=np.float32, chunks=(chunk_rows, *dims), **(comp or {}),
         )
         self.labels = f.create_dataset(
             "labels", shape=(0, 20), maxshape=(None, 20), dtype=np.int8,

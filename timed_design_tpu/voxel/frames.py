@@ -166,6 +166,34 @@ def structure_to_frame_atoms(
     else:
         raise ValueError(f"atom_filter {atom_filter!r} not in (backbone, ca, all)")
 
+    labels = [str(r.res_name) for r in std]
+    chain_ids = [str(r.chain_id) for r in std]
+    residue_ids = [str(r.id) for r in std]
+    if not valid.all():
+        # residues whose N/CA/C backbone is incomplete/degenerate cannot
+        # anchor a frame: drop them as frame CENTERS (aposteriori skips
+        # them too) — their present atoms above still contribute to
+        # neighboring residues' environments. Without this, an invalid
+        # residue got an identity-rotation frame centered at the world
+        # origin, silently written with a real label.
+        import warnings
+
+        dropped = [
+            f"{chain_ids[i]}{residue_ids[i]}({labels[i]})"
+            for i in np.nonzero(~valid)[0]
+        ]
+        warnings.warn(
+            f"{structure.name}: skipping {len(dropped)} residue(s) with "
+            f"incomplete backbone frames: {', '.join(dropped[:8])}"
+            + ("..." if len(dropped) > 8 else "")
+        )
+        keep = np.nonzero(valid)[0]
+        ca, M = ca[keep], M[keep]
+        labels = [labels[i] for i in keep]
+        chain_ids = [chain_ids[i] for i in keep]
+        residue_ids = [residue_ids[i] for i in keep]
+        valid = valid[keep]
+
     return FrameAtoms(
         atoms_xyz=np.asarray(xyz, np.float32).reshape(-1, 3),
         atom_channel=np.asarray(chan, np.int32),
@@ -174,7 +202,7 @@ def structure_to_frame_atoms(
         ca=ca,
         rot=M,
         valid=valid,
-        labels=[str(r.res_name) for r in std],
-        chain_ids=[str(r.chain_id) for r in std],
-        residue_ids=[str(r.id) for r in std],
+        labels=labels,
+        chain_ids=chain_ids,
+        residue_ids=residue_ids,
     )
