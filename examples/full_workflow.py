@@ -61,6 +61,9 @@ def main() -> None:
 
     import os
 
+    # resolve BEFORE chdir: a relative WORKDIR argument would otherwise
+    # double up (work/work/...) in every later step
+    work = work.resolve()
     os.chdir(work)
     sweep = run_temperature_sweep(
         work / "TIMED_rotamer_not_so_deep_rot.csv",

@@ -89,6 +89,9 @@ def main() -> None:
         except Exception as e:  # unknown flags fail compilation — that's data
             print(f"{name:26s} FAILED: {type(e).__name__}: {str(e)[:120]}",
                   flush=True)
+    if not results:
+        print("\nno candidate compiled successfully")
+        return
     results.sort(reverse=True)
     print("\nbest:", results[0][1], f"{results[0][0]:.1f} frames/s")
 

@@ -82,3 +82,29 @@ def test_predict_profile_flag_writes_trace(tmp_path, monkeypatch):
          "--profile", str(tmp_path / "trace")]
     )
     assert args.profile == str(tmp_path / "trace")
+
+
+def test_predict_voxelize_forwards_nmr_all_states(tmp_path, monkeypatch):
+    """--voxelize with --is_structure_nmr must voxelize EVERY NMR state
+    (voxelise_all_states) or the 'consensus' is just state 0."""
+    import timed_design_tpu.voxel as voxel_mod
+    from timed_design_tpu.cli import predict as predict_cli
+
+    seen = {}
+
+    def fake_mfd(pdbs, path, codec=None, voxelise_all_states=False, **kw):
+        seen["all_states"] = voxelise_all_states
+        raise SystemExit(0)  # stop before the heavy predict
+
+    monkeypatch.setattr(voxel_mod, "make_frame_dataset", fake_mfd)
+    src = tmp_path / "x.pdb"
+    src.write_text("END\n")
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        predict_cli.main([
+            "--path_to_dataset", str(src), "--path_to_model", "M.h5",
+            "--path_to_output", str(tmp_path), "--voxelize",
+            "--is_structure_nmr",
+        ])
+    assert seen["all_states"] is True

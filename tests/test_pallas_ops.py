@@ -51,3 +51,53 @@ def test_pallas_sampler_statistical():
     c = np.asarray(pallas_sample_class_indices(jnp.int32(6), jnp.asarray(p1), 1000))
     np.testing.assert_array_equal(a, b)
     assert (a != c).any()
+
+
+def test_pallas_viability_bounds():
+    """Typical design shapes use the kernel; very long sequences (whose
+    minimum-block compare chunk overflows scoped VMEM) must fall back."""
+    from timed_design_tpu.ops.pallas_sample import pallas_sampling_viable
+
+    assert pallas_sampling_viable(76, 338)
+    assert pallas_sampling_viable(500, 20)
+    assert not pallas_sampling_viable(4096, 338)
+
+
+def test_auto_dispatch_long_sequence_uses_xla():
+    """The auto path must not hand a VMEM-overflowing shape to Pallas —
+    even on TPU it falls back to XLA (on CPU both paths are XLA)."""
+    from timed_design_tpu.sample.sampler import (
+        sample_class_indices,
+        sample_class_indices_auto,
+    )
+
+    rng = np.random.default_rng(1)
+    p = rng.random((4096, 20)).astype(np.float32)
+    p /= p.sum(1, keepdims=True)
+    key = jax.random.key(7)
+    a = np.asarray(sample_class_indices_auto(key, jax.numpy.asarray(p), 4))
+    b = np.asarray(sample_class_indices(key, jax.numpy.asarray(p), 4))
+    np.testing.assert_array_equal(a, b)  # identical => XLA path on any backend
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Pallas PRNG needs real TPU")
+def test_pallas_undermass_rows_return_class_zero():
+    """A row whose mass sums to 0.5 leaves u in (0.5, 1) for ~half the
+    draws; the reference/XLA argmax semantics map those to class 0 — the
+    raw count would be C (out of range). Also covers the float32-cumsum
+    undershoot (~2e-7) on normalized rows."""
+    import jax.numpy as jnp
+
+    from timed_design_tpu.ops.pallas_sample import pallas_sample_class_indices
+
+    p = np.zeros((1, 20), np.float32)
+    p[0, 3] = 0.25
+    p[0, 7] = 0.25  # total mass 0.5
+    idx = np.asarray(
+        pallas_sample_class_indices(jnp.int32(11), jnp.asarray(p), 100_000)
+    ).ravel()
+    assert idx.min() >= 0 and idx.max() < 20
+    freq = np.bincount(idx, minlength=20) / idx.size
+    np.testing.assert_allclose(freq[0], 0.5, atol=0.01)  # overflow -> 0
+    np.testing.assert_allclose(freq[3], 0.25, atol=0.01)
+    np.testing.assert_allclose(freq[7], 0.25, atol=0.01)

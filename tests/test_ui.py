@@ -89,6 +89,16 @@ class FakeStreamlit:
     def button(self, label, **k):
         return self._widget("button", label, False)
 
+    # charts: run streamlit's actual pandas conversion so data-shape bugs
+    # (e.g. a dict of scalars, which raises in pd.DataFrame) fail the test
+    # instead of vanishing into __getattr__
+    def bar_chart(self, data=None, **k):
+        if data is not None:
+            import pandas as pd
+
+            pd.DataFrame(data)
+        self._record("bar_chart", None)
+
     # display-only elements --------------------------------------------------
     def __getattr__(self, name):
         # any st.foo(...) display call records and returns a context/columns
@@ -209,6 +219,34 @@ def test_ui_nmr_consensus_flow(monkeypatch, ubq, tmp_path, models_dir):
                          "--batch_size", "128"])
     succ = [a for k, a in fake.calls if k == "success"]
     assert succ and "2 NMR states" in succ[0]
+
+
+def test_ui_results_survive_widget_rerun(monkeypatch, ubq, models_dir):
+    """After Design! ran once, a rerun where the button returns False (any
+    widget interaction) must re-render the results from session state —
+    previously the whole app reset to the 'press Design!' prompt, making
+    property constraints and the position explorer unusable."""
+    responses = {
+        "Upload your backbone/PDB of interest": _Upload(ubq),
+        "Choose your Model": "TIMED",
+        "Design!": True,
+    }
+    fake = FakeStreamlit(responses)
+    monkeypatch.setattr(ui, "st", fake)
+    argv = ["--path_to_models", str(models_dir), "--batch_size", "128"]
+    ui.main(list(argv))
+    assert "success" in fake.kinds()
+    # rerun: button no longer pressed, same session_state (streamlit keeps
+    # it across reruns; the fake does too)
+    fake.responses["Design!"] = False
+    n_calls = len(fake.calls)
+    ui.main(list(argv))
+    rerun_kinds = [k for k, _ in fake.calls[n_calls:]]
+    assert "success" in rerun_kinds  # results drawn again
+    rerun_infos = [a for k, a in fake.calls[n_calls:] if k == "info"]
+    assert not any("press Design!" in str(a) for a in rerun_infos)  # no reset
+    # and the rerun came from the design cache (exactly one cached design)
+    assert len(fake.session_state["design_cache"]) == 1
 
 
 def test_discover_models(tmp_path):

@@ -83,11 +83,22 @@ def main(argv=None) -> None:
         decoded.pdb_to_sequence, assemblies, out, "_pred",
         Path(args.path_to_scwrl) if args.path_to_scwrl else None,
     )
-    packed_paths = {
-        pdb[:4]: out / f"{pdb}__pred.pdb" for pdb in scores_pred
-        if (out / f"{pdb}__pred.pdb").exists()
-    }
-    tags_pred, _ = tag_structures_with_rotamers(packed_paths)
+    def tags_from_packed(score_keys, suffix: str) -> dict:
+        # each per-chain key ("1abcA") has its OWN packed assembly (its
+        # designed sequence broadcast over all chains): take chain A's tags
+        # from 1abcA's file, chain B's from 1abcB's — keying one file per
+        # pdb[:4] would tag every chain from whichever file came last
+        tags = {}
+        for pdb in score_keys:
+            path = out / f"{pdb}_{suffix}.pdb"
+            if not path.exists():
+                continue
+            t, _ = tag_structures_with_rotamers({pdb[:4]: path})
+            if pdb in t:
+                tags[pdb] = t[pdb]
+        return tags
+
+    tags_pred = tags_from_packed(scores_pred, "_pred")
     if tags_pred:
         m2 = calculate_rotamer_metrics(
             decoded.pdb_to_probability, tags_pred, suffix="scwrl_pred", output_path=out
@@ -100,11 +111,7 @@ def main(argv=None) -> None:
         decoded.pdb_to_real_sequence, assemblies, out, "_real",
         Path(args.path_to_scwrl) if args.path_to_scwrl else None,
     )
-    packed_real = {
-        pdb[:4]: out / f"{pdb}__real.pdb" for pdb in scores_real
-        if (out / f"{pdb}__real.pdb").exists()
-    }
-    tags_real, _ = tag_structures_with_rotamers(packed_real)
+    tags_real = tags_from_packed(scores_real, "_real")
     if tags_real:
         m3 = calculate_rotamer_metrics(
             decoded.pdb_to_probability, tags_real, suffix="scwrl_real", output_path=out

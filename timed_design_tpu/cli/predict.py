@@ -67,7 +67,10 @@ def main(argv=None) -> None:
         )
         dataset_path = out / "dataset.hdf5"
         print(f"Voxelizing {len(pdbs)} structure(s) -> {dataset_path}")
-        make_frame_dataset(pdbs, dataset_path, codec=args.codec)
+        # NMR consensus needs EVERY state voxelized as <pdb>_<i> groups —
+        # without this the "consensus" silently equals the state-0 prediction
+        make_frame_dataset(pdbs, dataset_path, codec=args.codec,
+                           voxelise_all_states=args.is_structure_nmr)
 
     cfg = PredictConfig(
         path_to_dataset=dataset_path,
@@ -129,7 +132,15 @@ def main(argv=None) -> None:
             import numpy as np
 
             probs = np.asarray(probs)
-            plot_sequence_heatmap(probs, f"{pdb} probabilities", out)
+            if probs.shape[1] == 338:
+                # the heatmap's y-axis is the 20 amino acids; collapse
+                # rotamer probabilities first (the logo does this itself)
+                from ..constants import compress_rotamer_probs
+
+                heat = np.asarray(compress_rotamer_probs(probs))
+            else:
+                heat = probs
+            plot_sequence_heatmap(heat, f"{pdb} probabilities", out)
             plot_mean_var_probs(probs, f"{pdb}", out)
             fig = create_sequence_logo(probs)
             fig.savefig(out / f"{pdb}_logo.png")

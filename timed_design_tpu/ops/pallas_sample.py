@@ -39,7 +39,20 @@ def _pick_block(Lp: int) -> int:
     return max(8, min(256, (block // 8) * 8))
 
 
-def _make_kernel(Lp: int, Cp: int, block: int):
+def pallas_sampling_viable(L: int, C: int) -> bool:
+    """True when the kernel's VMEM working set fits at the minimum block
+    size of 8. Beyond this (very long multi-chain designs, Lp ~ 2048+) the
+    (8, Lp, 128) compare chunk alone would blow the scoped-VMEM limit —
+    callers must use the XLA formulation instead."""
+    Lp = _round_up(max(L, 8), 8)
+    Cp = _round_up(max(C, _CLASS_CHUNK), _CLASS_CHUNK)
+    return (
+        _VMEM_BUDGET // (Lp * _CLASS_CHUNK * 4) >= 8
+        and Lp * Cp * 4 <= 2 * _VMEM_BUDGET  # resident (Lp, Cp) cdf block
+    )
+
+
+def _make_kernel(Lp: int, Cp: int, block: int, n_classes: int):
     n_chunks = Cp // _CLASS_CHUNK
 
     def kernel(seed_ref, cdf_ref, out_ref):
@@ -56,7 +69,11 @@ def _make_kernel(Lp: int, Cp: int, block: int):
             return acc + le.sum(axis=-1)
 
         acc = jnp.zeros((block, Lp), jnp.int32)
-        out_ref[:] = jax.lax.fori_loop(0, n_chunks, body, acc)
+        acc = jax.lax.fori_loop(0, n_chunks, body, acc)
+        # float32 row sums often end below 1.0 (~2e-7 short): u landing in
+        # that gap counts ALL n_classes entries. The XLA/reference argmax
+        # form returns class 0 there — match it (and stay in range).
+        out_ref[:] = jnp.where(acc >= n_classes, 0, acc)
 
     return kernel
 
@@ -89,7 +106,7 @@ def pallas_sample_class_indices(
     z = z ^ (z >> 16)
     block_seeds = jax.lax.bitcast_convert_type(z, jnp.int32)
     out = pl.pallas_call(
-        _make_kernel(Lp, Cp, block),
+        _make_kernel(Lp, Cp, block, C),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

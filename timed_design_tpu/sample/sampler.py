@@ -77,10 +77,16 @@ def sample_class_indices_auto(
     same key; both are deterministic in (key, shape).
     """
     if jax.default_backend() == "tpu":
-        from ..ops.pallas_sample import pallas_sample_class_indices
+        from ..ops.pallas_sample import (
+            pallas_sample_class_indices,
+            pallas_sampling_viable,
+        )
 
-        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-        return pallas_sample_class_indices(seed, probs, n_samples)
+        # very long sequences overflow the kernel's VMEM working set even
+        # at its minimum block size — XLA handles those
+        if pallas_sampling_viable(*probs.shape):
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            return pallas_sample_class_indices(seed, probs, n_samples)
     return sample_class_indices(key, probs, n_samples)
 
 

@@ -307,7 +307,11 @@ def _draw_performance_section(designed_seq, native_seq):
     st.write({k: v for k, v in m.items()
               if k.startswith("accuracy") or k in ("precision", "recall")})
     st.subheader("Prediction bias")
-    st.bar_chart(m["bias"])
+    # dict-of-scalars crashes streamlit's pd.DataFrame conversion — a
+    # Series renders one bar per residue as intended
+    import pandas as pd
+
+    st.bar_chart(pd.Series(m["bias"], name="bias"))
     st.subheader("Confusion matrix (design vs native)")
     fig, ax = plt.subplots(figsize=(7, 6))
     im = ax.imshow(m["unweighted_cm"], cmap="viridis", aspect="auto")
@@ -396,7 +400,14 @@ def main(argv=None):  # noqa: C901 - UI flow
 
     model_options = discover_models(models_dir)
     cfg = _draw_sidebar(model_options)
-    if not cfg["run"]:
+    # The Design! button is only True on the rerun in which it was clicked;
+    # every interaction with a result widget (property multiselects,
+    # position explorer, MC checkbox) triggers a rerun with run=False. Gate
+    # on a persistent "submitted" flag — and cache the expensive design
+    # below — so results survive widget interaction instead of vanishing.
+    if cfg["run"]:
+        st.session_state["submitted"] = True
+    if not st.session_state.get("submitted"):
         st.info("Upload a backbone (or give a PDB code) and press Design!")
         return
 
@@ -427,6 +438,7 @@ def main(argv=None):  # noqa: C901 - UI flow
         )
         return
 
+    import hashlib
     import time
 
     session_key = f"session::{model_arg}"
@@ -445,11 +457,28 @@ def main(argv=None):  # noqa: C901 - UI flow
         st.warning(f"Demo mode: {model_name} runs with RANDOM weights — "
                    "outputs are not real designs.")
 
-    t0 = time.perf_counter()
-    per_state_probs = []
+    # Memoize the design on its actual inputs (model, structure coords,
+    # property map) so reruns from widget interaction redraw instantly and
+    # only a changed constraint recomputes.
+    fp = hashlib.md5()
+    fp.update(str(model_arg).encode())
     for s in states:
-        p, _fa = session.design(s)
-        per_state_probs.append(np.asarray(p))
+        fp.update(s.name.encode())
+        fp.update(s.sequence1().encode())  # property constraints rewrite identities
+        fp.update(np.ascontiguousarray(s.coords).tobytes())
+    design_key = fp.hexdigest()
+    cache = st.session_state.setdefault("design_cache", {})
+    t0 = time.perf_counter()
+    if design_key in cache:
+        per_state_probs = cache[design_key]
+    else:
+        per_state_probs = []
+        for s in states:
+            p, _fa = session.design(s)
+            per_state_probs.append(np.asarray(p))
+        while len(cache) >= 4:  # bound memory: drop oldest designs
+            cache.pop(next(iter(cache)))
+        cache[design_key] = per_state_probs
     probs = _nmr_consensus(per_state_probs)
     t_pred = time.perf_counter() - t0
 

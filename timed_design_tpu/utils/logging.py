@@ -32,6 +32,8 @@ def configure(level: int = logging.INFO, event_file: Path | None = None) -> logg
         logger.addHandler(h)
     logger.setLevel(level)
     if event_file is not None:
+        if _event_file is not None:  # reconfiguring: don't leak the old fd
+            _event_file.close()
         _event_file = open(event_file, "a")
     return logger
 
