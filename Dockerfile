@@ -3,15 +3,20 @@
 # jax[tpu] wheel talks to the TPU driver via libtpu).
 FROM python:3.12-slim
 
+# toolchain layer first: source edits must not re-run apt
+RUN apt-get update \
+    && apt-get install -y --no-install-recommends g++ zlib1g-dev \
+    && rm -rf /var/lib/apt/lists/*
+
 WORKDIR /app
 COPY pyproject.toml README.md ./
 COPY timed_design_tpu ./timed_design_tpu
 # native components (C++ PDB scanner + parallel inflate pool) compile on
-# first use; without a toolchain the pure-Python fallbacks take over
+# first use; without a toolchain the pure-Python fallbacks take over.
+# TD_NATIVE_DIR points the pip-installed package at these sources (its own
+# relative lookup would land in site-packages, where they don't exist).
 COPY native ./native
-RUN apt-get update \
-    && apt-get install -y --no-install-recommends g++ zlib1g-dev \
-    && rm -rf /var/lib/apt/lists/*
+ENV TD_NATIVE_DIR=/app/native
 
 RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
     && pip install --no-cache-dir .[ui,analysis]

@@ -73,7 +73,6 @@ def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800) -> list[dict]:
                                "index_label")}
             attrs = dict(f.attrs.items())
 
-        reps = -(-n_frames // X0.shape[0])
         rng = np.random.default_rng(0)
 
         def replicate_flat(dst: Path, n: int) -> Path:
@@ -172,7 +171,11 @@ def main() -> list[dict]:
 
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def step(v, x, i):
-        probs = model.apply(v, x + i.astype(jnp.bfloat16) * 1e-6)
+        # (i % 251) is exactly representable in bf16 (integers < 256), so
+        # every step's input tensor is bitwise distinct — a small *1e-6
+        # perturbation would collapse to 2-3 values at bf16 resolution and
+        # defeat the anti-caching methodology this file documents
+        probs = model.apply(v, x + (i % 251).astype(jnp.bfloat16))
         return probs.sum() + i.astype(jnp.float32)
 
     float(step(variables, x, jnp.int32(0)))  # compile + true sync

@@ -54,7 +54,9 @@ def main() -> None:
     variables = jax.jit(model.init)(jax.random.key(0), x[:1])
 
     def fwd(v, x, i):
-        probs = model.apply(v, x + i.astype(jnp.bfloat16) * 1e-6)
+        # bitwise-distinct inputs per step (bench.py methodology: i % 251
+        # is exact in bf16; a tiny *1e-6 perturbation would collapse)
+        probs = model.apply(v, x + (i % 251).astype(jnp.bfloat16))
         return probs.sum() + i.astype(jnp.float32)
 
     candidates: list[tuple[str, dict | None]] = [

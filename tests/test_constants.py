@@ -53,7 +53,9 @@ def test_rotamer_codec_structure():
     # Block sizes are 3**n_chi
     for i, res in enumerate(AA3):
         end = REFERENCE_REDUCTION_GUIDE[i + 1] if i < 19 else 338
-        assert end - REFERENCE_REDUCTION_GUIDE[i] == 3 ** CHI_COUNTS[res] if CHI_COUNTS[res] else 1
+        assert end - REFERENCE_REDUCTION_GUIDE[i] == (
+            3 ** CHI_COUNTS[res] if CHI_COUNTS[res] else 1
+        )
 
 
 def test_rotamer_onehot_rows_sum_to_one():

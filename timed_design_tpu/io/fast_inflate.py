@@ -18,7 +18,13 @@ from pathlib import Path
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+# TD_NATIVE_DIR overrides for installed copies, where parents[2] is
+# site-packages and the C++ sources live elsewhere (e.g. /app/native in
+# the Docker image)
+_NATIVE_DIR = Path(
+    os.environ.get("TD_NATIVE_DIR")
+    or Path(__file__).resolve().parents[2] / "native"
+)
 _SRC = _NATIVE_DIR / "inflate_pool.cpp"
 _LIB = _NATIVE_DIR / "libinflate_pool.so"
 _lock = threading.Lock()
