@@ -14,9 +14,10 @@ Methodology: batch 512, bfloat16 activations, fp32 accumulation. Every step
 gets a UNIQUE input perturbation (a step-index scalar mixed into the frames)
 so no execution can be cached/elided; all steps are dispatched and the wall
 clock covers completion of every one (device execution is serial per chip).
-This measured ~40% of v5e bf16 peak on the conv stack — physically
-consistent, unlike naive same-input loops which measure as impossibly fast
-through the execution cache.
+This measures ~70% of v5e bf16 compute peak on the conv stack (2.56 TFLOP
+per batch-512 step; TODO.md roofline) — physically consistent, unlike naive
+same-input loops which measure as impossibly fast through the execution
+cache.
 """
 from __future__ import annotations
 

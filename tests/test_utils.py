@@ -34,6 +34,9 @@ def test_structured_logging(tmp_path, caplog):
     line = json.loads(events.read_text().splitlines()[-1])
     assert line["event"] == "predict_done" and line["frames"] == 76
     assert "ts" in line
+    from timed_design_tpu.utils.logging import close_event_file
+
+    close_event_file()  # don't leak the handle past the test
 
 
 def test_trace_noop():

@@ -38,6 +38,14 @@ def configure(level: int = logging.INFO, event_file: Path | None = None) -> logg
     return logger
 
 
+def close_event_file() -> None:
+    """Close the structured-event sink (tests/long-lived processes)."""
+    global _event_file
+    if _event_file is not None:
+        _event_file.close()
+        _event_file = None
+
+
 def log_event(event: str, **fields) -> None:
     """Emit a structured JSON event line (and an INFO log)."""
     record = {"ts": time.time(), "event": event, **fields}
