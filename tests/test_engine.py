@@ -240,3 +240,16 @@ def test_multi_model_single_pass_matches_separate_runs(tmp_path, ubq_h5):
     # shared artifacts written once
     assert (fused / "encoded_labels.csv").exists()
     assert (fused / "dataset.fasta").exists()
+
+
+def test_compiler_options_model_exclusion():
+    """The tuned scoped-VMEM option measured -7% on ProDCoNN: the registry
+    name (with or without an engine output suffix) must disable it, and on
+    non-TPU backends the options are always None."""
+    from timed_design_tpu.utils.xla_opts import tpu_compiler_options
+
+    assert tpu_compiler_options(model_name="ProDCoNN") is None
+    assert tpu_compiler_options(model_name="ProDCoNN_suffixed") is None
+    # CPU backend (this test mesh): None regardless of model
+    assert tpu_compiler_options(model_name="TIMED") is None
+    assert tpu_compiler_options() is None

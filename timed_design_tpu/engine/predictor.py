@@ -72,6 +72,7 @@ class Predictor:
         batch_size: int = 512,
         mesh=None,
         transfer_dtype=None,
+        model_name: str | None = None,
     ):
         """``model``: a KerasH5Model, or ``(flax_module, variables)``.
 
@@ -80,6 +81,9 @@ class Predictor:
         model's own on-device input cast, but the wire carries half the
         bytes (2x e2e on transfer-bound links; this dev tunnel moves
         ~32 MB/s, so it dominates there).
+
+        ``model_name``: registry name, used to skip the tuned compiler
+        options on architectures where they measured slower (ProDCoNN).
         """
         self.mesh = mesh if mesh is not None else make_mesh()
         n_data = self.mesh.shape["data"]
@@ -103,10 +107,11 @@ class Predictor:
             fn,
             in_shardings=(None, self._sharding),
             out_shardings=self._sharding,
-            # +4% on the conv stack from a larger scoped-VMEM budget
-            # (utils/xla_opts.py); None on non-TPU backends
+            # +4% (TIMED) to +15% (DenseCPD) on the conv stacks from a
+            # larger scoped-VMEM budget (utils/xla_opts.py — per-arch
+            # measurements there); None on non-TPU backends / ProDCoNN
             compiler_options=tpu_compiler_options(
-                list(self.mesh.devices.flat)
+                list(self.mesh.devices.flat), model_name=model_name
             ),
         )
 
@@ -324,8 +329,8 @@ def load_dataset_and_predict(
         resolved_models.append((model, model_name + model_name_suffix))
     predictors = [
         Predictor(model, batch_size=batch_size, mesh=mesh,
-                  transfer_dtype=compute_dtype)
-        for model, _ in resolved_models
+                  transfer_dtype=compute_dtype, model_name=name)
+        for model, name in resolved_models
     ]
 
     loader = FrameBatchLoader(
@@ -470,6 +475,7 @@ def predict_structure(
         codec = Codec.from_string(codec)
     fa = structure_to_frame_atoms(structure_or_path, codec)
     frames = voxelize_frame_atoms(fa, codec, gaussian=gaussian)
-    predictor = Predictor(resolved, batch_size=batch_size, mesh=mesh)
+    predictor = Predictor(resolved, batch_size=batch_size, mesh=mesh,
+                          model_name=model_name)
     probs = predictor.predict_probs(frames)  # device-resident, no roundtrip
     return probs, fa

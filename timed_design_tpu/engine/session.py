@@ -49,7 +49,7 @@ class DesignSession:
         # silently dropped here, sending f32 over the wire)
         self.predictor = Predictor(
             resolved, batch_size=batch_size, mesh=mesh,
-            transfer_dtype=compute_dtype,
+            transfer_dtype=compute_dtype, model_name=self.model_name,
         )
 
     @property
