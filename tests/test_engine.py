@@ -242,10 +242,11 @@ def test_multi_model_single_pass_matches_separate_runs(tmp_path, ubq_h5):
     assert (fused / "dataset.fasta").exists()
 
 
-def test_compiler_options_model_exclusion():
-    """The tuned scoped-VMEM option measured -7% on ProDCoNN: the registry
-    name (with or without an engine output suffix) must disable it, and on
-    non-TPU backends the options are always None."""
+def test_compiler_options_per_architecture():
+    """Per-arch tuned scoped-VMEM values (utils/xla_opts.py table):
+    ProDCoNN disables the option (-7% measured), Dense* use 96 MiB, and
+    on non-TPU backends everything is None."""
+    from timed_design_tpu.utils import xla_opts
     from timed_design_tpu.utils.xla_opts import tpu_compiler_options
 
     assert tpu_compiler_options(model_name="ProDCoNN") is None
@@ -253,3 +254,8 @@ def test_compiler_options_model_exclusion():
     # CPU backend (this test mesh): None regardless of model
     assert tpu_compiler_options(model_name="TIMED") is None
     assert tpu_compiler_options() is None
+    # value selection is testable backend-independently via the table
+    assert xla_opts._MODEL_KIB["DenseCPD"] == "98304"
+    assert xla_opts._MODEL_KIB["DenseNet"] == "98304"
+    assert xla_opts._MODEL_KIB["ProDCoNN"] is None
+    assert xla_opts._DEFAULT_KIB == "131072"
