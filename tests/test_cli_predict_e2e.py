@@ -46,3 +46,25 @@ def test_predict_cli_subprocess(tmp_path, ubq_pdb_gz):
     fasta = (tmp_path / "TIMED_tiny.fasta").read_text()
     assert fasta.startswith(">1ubqA\n") and len(fasta.splitlines()[1]) == 76
     assert (tmp_path / "dataset.fasta").exists()
+
+
+@pytest.mark.slow
+def test_predict_cli_rotamer_output_analysis(tmp_path, ubq_pdb_gz):
+    """--output_analysis in rotamer mode: the heatmap must come from the
+    20-class compressed matrix (338 rows under 20 AA labels were
+    misleading), alongside the logo and mean/var plots."""
+    from timed_design_tpu.cli.predict import main
+
+    main([
+        "--path_to_dataset", str(ubq_pdb_gz),
+        "--voxelize", "--codec", "CNOCACB",
+        "--path_to_model", "TIMED_rotamer_not_so_deep",
+        "--predict_rotamers", "--allow-random-weights",
+        "--path_to_output", str(tmp_path),
+        "--path_to_datasetmap", str(tmp_path / "datasetmap.txt"),
+        "--batch_size", "128", "--output_analysis",
+    ])
+    pngs = sorted(p.name for p in tmp_path.glob("*.png"))
+    assert any("heatmap" in n for n in pngs), pngs
+    assert any("logo" in n for n in pngs), pngs
+    assert any("mean_var" in n for n in pngs), pngs
