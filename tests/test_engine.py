@@ -251,6 +251,7 @@ def test_compiler_options_per_architecture():
 
     assert tpu_compiler_options(model_name="ProDCoNN") is None
     assert tpu_compiler_options(model_name="ProDCoNN_suffixed") is None
+    assert tpu_compiler_options(model_name="prodconn") is None  # .h5 stem
     # CPU backend (this test mesh): None regardless of model
     assert tpu_compiler_options(model_name="TIMED") is None
     assert tpu_compiler_options() is None

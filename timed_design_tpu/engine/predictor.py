@@ -107,7 +107,7 @@ class Predictor:
             fn,
             in_shardings=(None, self._sharding),
             out_shardings=self._sharding,
-            # +4% (TIMED) to +15% (DenseCPD) on the conv stacks from a
+            # +4% (TIMED) to +17.5% (DenseCPD) on the conv stacks from a
             # larger scoped-VMEM budget (utils/xla_opts.py — per-arch
             # measurements there); None on non-TPU backends / ProDCoNN
             compiler_options=tpu_compiler_options(
@@ -210,7 +210,10 @@ def _resolve_model(m, compute_dtype=None, allow_random_weights=False):
     if isinstance(m, KerasH5Model):
         return m, m.name
     if isinstance(m, tuple):
-        return m, getattr(m[0], "name", "model")
+        # a top-level flax module HAS a name attribute set to None — the
+        # getattr default alone doesn't cover it, and a None name crashes
+        # the output-path construction downstream
+        return m, getattr(m[0], "name", None) or "model"
     if isinstance(m, (str, Path)) and "@" in str(m):
         # "<RegistryName>@<checkpoint.npz>": trained weights from cli/train.py
         from ..models import get_model_spec

@@ -46,8 +46,12 @@ def tpu_compiler_options(
 
     kib = _DEFAULT_KIB
     if model_name is not None:
+        # case-insensitive substring match: .h5-loaded models carry the
+        # file stem ('prodconn.h5' -> 'prodconn'), and the engine may
+        # append an output-name suffix — both must still hit their row
+        low = model_name.lower()
         for prefix, value in _MODEL_KIB.items():
-            if model_name.startswith(prefix):
+            if prefix.lower() in low:
                 kib = value
                 break
     if kib is None:
