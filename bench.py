@@ -192,12 +192,19 @@ def main() -> list[dict]:
         float(out)
         return time.perf_counter() - t0
 
-    timed_round(5, 50_000)  # warmup
+    # Round bases are chosen so the (base+i+1) % 251 residue ranges are
+    # DISJOINT across rounds: warmup -> 1..5, small -> 11..30, large ->
+    # 101..180. With colliding ranges (round-2 used bases 10k/20k/50k:
+    # small's residues 212..231 all recur inside large's 172..250,0) up to
+    # 20 of the large round's steps could be served by the transport's
+    # value-keyed execution cache, deflating dt_large and inflating the
+    # marginal throughput.
+    timed_round(5, 0)  # warmup
     # Marginal throughput: (dt_large - dt_small) removes the constant fetch
     # RTT, leaving pure per-step device time.
     n_small, n_large = 20, 80
-    dt_small = timed_round(n_small, 10_000)
-    dt_large = timed_round(n_large, 20_000)
+    dt_small = timed_round(n_small, 10)
+    dt_large = timed_round(n_large, 100)
     frames_per_sec = (n_large - n_small) * batch / max(dt_large - dt_small, 1e-6)
     return [
         {

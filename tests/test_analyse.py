@@ -301,3 +301,8 @@ def test_calculate_metrics_true_topk_with_probabilities():
 
     with pytest.raises(ValueError, match="align"):
         calculate_metrics({"x": pred}, {"x": real}, {"x": P[:2]})
+    # a probability dict missing a scored pdb must raise a descriptive
+    # ValueError, not a bare KeyError (sequences_to_labels skips mismatched
+    # structures gracefully; the probability path must not crash opaquely)
+    with pytest.raises(ValueError, match="missing an entry for 'x'"):
+        calculate_metrics({"x": pred}, {"x": real}, {"other": P})

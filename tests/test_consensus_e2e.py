@@ -48,6 +48,52 @@ def test_all_states_parsing(nmr_pdb):
     assert single.n_residues == 76
 
 
+def test_states_dropping_different_residues_stay_aligned(tmp_path):
+    """When one NMR state is missing a residue's backbone frame (here: the
+    N atom of residue 5 deleted from state 2 only), per-state frame groups
+    must stay index-aligned — the positional consensus average would
+    otherwise broadcast-error or silently misalign rows. The voxelizer
+    aligns all states on their common residues."""
+    import warnings
+
+    import h5py
+
+    src = Path(__file__).parent / "testing_files" / "1ubq.pdb1.gz"
+    text = gzip.open(src).read().decode()
+    atom_lines = [l for l in text.splitlines() if l[:6] in ("ATOM  ", "HETATM")]
+    state2 = [
+        l for l in atom_lines
+        if not (l[12:16].strip() == "N" and int(l[22:26]) == 5)
+    ]
+    pdb = tmp_path / "ragged.pdb"
+    with open(pdb, "w") as f:
+        f.write("MODEL        1\n" + "\n".join(atom_lines) + "\nENDMDL\n")
+        f.write("MODEL        2\n" + "\n".join(state2) + "\nENDMDL\n")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        h5 = make_frame_dataset(
+            [pdb], tmp_path / "ragged.hdf5", codec="CNOCACB",
+            voxelise_all_states=True,
+        )
+    with h5py.File(h5) as f:
+        keys = {}
+        for state in ("ragged_0", "ragged_1"):
+            keys[state] = sorted(
+                (c, r) for c in f[state] for r in f[state][c]
+            )
+        assert len(keys["ragged_0"]) == 75  # residue 5 dropped everywhere
+        assert keys["ragged_0"] == keys["ragged_1"]
+        assert ("A", "5") not in keys["ragged_0"]
+
+    # defense in depth: a mismatched stack of state matrices raises a
+    # descriptive error, not a numpy broadcast error
+    from timed_design_tpu.io.decode import consensus_running_average
+
+    with pytest.raises(ValueError, match="not index-aligned"):
+        consensus_running_average([np.zeros((76, 20)), np.zeros((75, 20))])
+
+
 @pytest.mark.slow
 def test_consensus_pipeline(tmp_path, nmr_pdb):
     h5 = make_frame_dataset(

@@ -92,7 +92,10 @@ def test_design_malformed_json_gets_400_not_reset(server_url):
     """Non-dict JSON and null fields must come back as HTTP 400 — a raised
     TypeError inside do_POST would drop the connection instead."""
     for payload in (b"[1, 2]", b'{"pdb": null}',
-                    b'{"pdb": "x", "n_samples": "many"}'):
+                    b'{"pdb": "x", "n_samples": "many"}',
+                    # 1e400 parses to float('inf'); int(inf) raises
+                    # OverflowError, which must also land as a 400
+                    b'{"pdb": "x", "n_samples": 1e400}'):
         status, body = _post(server_url + "/design", payload)
         assert status == 400, payload
         assert "bad JSON" in body["error"]

@@ -210,7 +210,18 @@ def calculate_metrics(
         for pdb, pred_seq in pdb_to_sequence.items():
             if pdb not in pdb_to_real_sequence:
                 continue
-            P = np.asarray(pdb_to_probability[pdb])
+            probs = pdb_to_probability.get(pdb)
+            if probs is None:
+                # mirror sequences_to_labels' graceful skip semantics with a
+                # descriptive error instead of a bare KeyError: a partially
+                # populated probability dict would silently mis-score
+                raise ValueError(
+                    f"pdb_to_probability is missing an entry for {pdb!r}, "
+                    f"which is present in both sequence dicts; pass "
+                    f"probability rows for every scored structure or pass "
+                    f"pdb_to_probability=None for one-hot scoring"
+                )
+            P = np.asarray(probs)
             if P.shape[0] < len(pred_seq):
                 raise ValueError(
                     f"{pdb}: {P.shape[0]} probability rows do not align "

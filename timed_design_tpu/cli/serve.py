@@ -139,7 +139,10 @@ def make_server(session, host: str, port: int, model_name: str):
                     temperature = 0.2 if t is None else float(t)
                     seed = req.get("seed")
                     seed = None if seed is None else int(seed)
-                except (ValueError, KeyError, TypeError) as e:
+                except (ValueError, KeyError, TypeError, OverflowError) as e:
+                    # OverflowError: {"n_samples": 1e400} parses to inf and
+                    # int(inf) raises it — must be a 400, not a dropped
+                    # connection
                     self._send(400, {"error": f"bad JSON request: {e}"})
                     return
             if not 0 <= n_samples <= MAX_SAMPLES_PER_REQUEST:

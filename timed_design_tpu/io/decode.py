@@ -51,8 +51,17 @@ def consensus_running_average(per_state_probs) -> np.ndarray:
     are overweighted exactly as in utils.py:694-713. Shared by the engine
     decode path and the UI multi-state flow."""
     acc = np.array(per_state_probs[0])
-    for prob in per_state_probs[1:]:
-        acc = (acc + np.array(prob)) / 2
+    for k, prob in enumerate(per_state_probs[1:], start=1):
+        prob = np.array(prob)
+        if prob.shape != acc.shape:
+            raise ValueError(
+                f"NMR consensus states are not index-aligned: state 0 has "
+                f"shape {acc.shape} but state {k} has {prob.shape}. States "
+                f"must cover the same residues in the same order (voxelize "
+                f"with voxelise_all_states=True, which aligns states on "
+                f"their common residues)."
+            )
+        acc = (acc + prob) / 2
     return acc
 
 

@@ -25,7 +25,7 @@ import numpy as np
 from ..constants import AA3, AA3_TO_INT
 from ..structure.pdb import Structure, load_pdb
 from .codec import Codec
-from .frames import structure_to_frame_atoms
+from .frames import FrameAtoms, structure_to_frame_atoms
 from .voxelize import voxelize_frame_atoms
 
 FRAME_DATASET_VER = "2.0.0-tpu"
@@ -115,10 +115,27 @@ def make_frame_dataset(
             structures = load_pdb(Path(path), all_states=voxelise_all_states)
             if not isinstance(structures, list):
                 structures = [structures]
-            for s in structures:
-                frames, fa = voxelize_structure(
-                    s, codec, voxels_per_side, frame_edge_length, gaussian,
-                    encode_cb, atom_filter,
+            fas = [
+                structure_to_frame_atoms(
+                    s, codec, encode_cb=encode_cb, atom_filter=atom_filter
+                )
+                for s in structures
+            ]
+            if len(fas) > 1:
+                # NMR multi-state: states may drop DIFFERENT residues
+                # (incomplete backbone frames differ per state), which would
+                # leave per-state probability matrices of different lengths /
+                # misaligned rows — the downstream consensus running average
+                # ((prev+cur)/2, io/decode.py) indexes states positionally.
+                # Restrict every state to the residues valid in ALL states so
+                # row i means the same residue in every state.
+                fas = _align_states(fas, name=structures[0].name)
+            for s, fa in zip(structures, fas):
+                frames = np.asarray(
+                    voxelize_frame_atoms(
+                        fa, codec, voxels_per_side=voxels_per_side,
+                        frame_edge_length=frame_edge_length, gaussian=gaussian,
+                    )
                 )
                 if layout == "flat":
                     writer.append(
@@ -140,6 +157,50 @@ def make_frame_dataset(
                     onehot[AA3_TO_INT[fa.labels[i]]] = 1
                     d.attrs["encoded_residue"] = onehot
     return output_path
+
+
+def _align_states(fas: list[FrameAtoms], name: str) -> list[FrameAtoms]:
+    """Restrict every NMR state's frame rows to the (chain, residue) keys
+    present in ALL states, preserving each state's original residue order.
+
+    States come from one file, so surviving residues enumerate in the same
+    order in every state — after this filter, row i of state k is the same
+    residue for every k, which the positional consensus average requires."""
+    import dataclasses
+
+    key_sets = [set(zip(fa.chain_ids, fa.residue_ids)) for fa in fas]
+    common = set.intersection(*key_sets)
+    if all(len(fa.labels) == len(common) for fa in fas):
+        return fas  # nothing dropped anywhere: already aligned
+    import warnings
+
+    dropped = sorted(set.union(*key_sets) - common)
+    warnings.warn(
+        f"{name}: aligning {len(fas)} NMR states on {len(common)} common "
+        f"residues; dropping {len(dropped)} residue(s) missing a valid "
+        f"frame in some state: "
+        + ", ".join(f"{c}{r}" for c, r in dropped[:8])
+        + ("..." if len(dropped) > 8 else "")
+    )
+    out = []
+    for fa in fas:
+        keep = [
+            i
+            for i, k in enumerate(zip(fa.chain_ids, fa.residue_ids))
+            if k in common
+        ]
+        out.append(
+            dataclasses.replace(
+                fa,
+                ca=fa.ca[keep],
+                rot=fa.rot[keep],
+                valid=fa.valid[keep],
+                labels=[fa.labels[i] for i in keep],
+                chain_ids=[fa.chain_ids[i] for i in keep],
+                residue_ids=[fa.residue_ids[i] for i in keep],
+            )
+        )
+    return out
 
 
 class _FlatWriter:
