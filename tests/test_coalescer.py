@@ -1,0 +1,115 @@
+"""CoalescingDesigner: concurrent design requests share device batches."""
+import gzip
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def session():
+    import jax
+
+    from timed_design_tpu.engine import DesignSession
+    from timed_design_tpu.models import timed
+
+    module = timed(filters=(8,))
+    variables = module.init(
+        jax.random.key(0), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    return DesignSession(
+        (module, variables), codec="CNOCACB", batch_size=128,
+        compute_dtype="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def ubq_structure(ubq_pdb_gz):
+    from timed_design_tpu.structure import parse_pdb_string
+
+    text = gzip.decompress(ubq_pdb_gz.read_bytes()).decode()
+    return parse_pdb_string(text, name="query")[0]
+
+
+def test_concurrent_requests_coalesce_and_match_serial(session, ubq_structure):
+    """8 simultaneous requests: the worker is busy compiling on the first,
+    so the rest queue up and ride one shared batch — and every request's
+    probabilities equal the serial single-request result."""
+    from timed_design_tpu.engine.coalescer import CoalescingDesigner
+
+    ref_probs, _ = session.design(ubq_structure)  # serial ground truth
+    designer = CoalescingDesigner(session)
+    try:
+        barrier = threading.Barrier(8)
+
+        def one_request(_):
+            barrier.wait()
+            return designer.design(ubq_structure)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(one_request, range(8)))
+
+        for probs, fa, timings in results:
+            assert probs.shape == (76, 20)
+            np.testing.assert_allclose(
+                np.asarray(probs), np.asarray(ref_probs), atol=1e-5
+            )
+            assert len(fa.labels) == 76
+            assert timings["group_requests"] >= 1
+        # the first request occupies the worker; the other 7 queue behind it
+        # and must coalesce into (a) shared group(s)
+        assert designer.stats["requests"] == 8
+        assert designer.stats["max_group_requests"] >= 2
+        assert designer.stats["groups"] < 8
+        assert any(t["group_requests"] >= 2 for _, _, t in results)
+    finally:
+        designer.close()
+
+
+def test_bad_structure_fails_only_its_own_request(session, ubq_structure):
+    """A request whose voxelization fails must not poison the batch it
+    rode in — the other requests still succeed."""
+    from timed_design_tpu.engine.coalescer import CoalescingDesigner
+
+    class Broken:
+        name = "broken"
+        n_residues = 5
+
+    designer = CoalescingDesigner(session)
+    try:
+        barrier = threading.Barrier(4)
+
+        def one_request(structure):
+            barrier.wait()
+            return designer.design(structure)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(one_request, s)
+                for s in (ubq_structure, Broken(), ubq_structure, ubq_structure)
+            ]
+            ok, failed = [], []
+            for f in futs:
+                try:
+                    ok.append(f.result(timeout=300))
+                except Exception as e:  # noqa: BLE001
+                    failed.append(e)
+        assert len(ok) == 3 and len(failed) == 1
+        for probs, fa, _ in ok:
+            assert probs.shape == (76, 20)
+    finally:
+        designer.close()
+
+
+def test_close_is_idempotent_and_pending_window(session, ubq_structure):
+    """A designer with a collection window still serves a lone request
+    (after at most the window), and close() can be called twice."""
+    from timed_design_tpu.engine.coalescer import CoalescingDesigner
+
+    designer = CoalescingDesigner(session, window_ms=20.0)
+    probs, fa, timings = designer.design(ubq_structure)
+    assert probs.shape == (76, 20)
+    assert timings["group_requests"] == 1
+    designer.close()
+    designer.close()

@@ -316,3 +316,54 @@ def test_ui_pdb_code_mirror_lookup(monkeypatch, ubq, tmp_path, models_dir):
                          "--path_to_pdb", str(tmp_path / "mirror")])
     errs = [a for k, a in fake.calls if k == "error"]
     assert errs and "No structure for code 9zzz" in errs[0]
+
+
+def test_ui_pdb_code_fetch(monkeypatch, ubq, tmp_path, models_dir):
+    """--allow-fetch: a code missing from the mirror is downloaded from the
+    configured base URL into the mirror's sharded layout and designed
+    (reference UI remote lookup, ui.py:889-905); fetch stays OFF without
+    the flag."""
+    import functools
+    import http.server
+    import shutil
+    import threading
+
+    docroot = tmp_path / "docroot"
+    docroot.mkdir()
+    shutil.copy(ubq, docroot / "1ubq.pdb1.gz")
+
+    class QuietHandler(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a, **k):
+            pass
+
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        functools.partial(QuietHandler, directory=str(docroot)),
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base_url = f"http://127.0.0.1:{server.server_address[1]}/"
+    try:
+        mirror = tmp_path / "mirror"
+        mirror.mkdir()
+        responses = {
+            "Enter a PDB Code:": "1ubq",
+            "Choose your Model": "TIMED",
+            "Design!": True,
+        }
+        # without --allow-fetch: clean error, nothing downloaded
+        fake = _run_ui(monkeypatch, responses,
+                       argv=["--path_to_models", str(models_dir),
+                             "--path_to_pdb", str(mirror)])
+        errs = [a for k, a in fake.calls if k == "error"]
+        assert errs and "No structure for code 1ubq" in errs[0]
+        assert not list(mirror.rglob("*"))
+
+        fake = _run_ui(monkeypatch, responses,
+                       argv=["--path_to_models", str(models_dir),
+                             "--path_to_pdb", str(mirror),
+                             "--allow-fetch",
+                             "--fetch_base_url", base_url])
+        assert "success" in fake.kinds()
+        assert (mirror / "ub" / "1ubq.pdb1.gz").exists()
+    finally:
+        server.shutdown()

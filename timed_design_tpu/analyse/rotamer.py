@@ -32,19 +32,67 @@ from .metrics import (
 )
 
 
+def resolve_structure_paths(
+    codes: t.Iterable[str],
+    pdb_dir: Path,
+    fetcher: t.Callable[[str], Path] | None = None,
+) -> dict[str, t.Optional[Path]]:
+    """Map pdb codes to files in a local mirror; optionally fetch misses.
+
+    Search order per code (the reference's layouts, analyse_utils.py:
+    947-961): flat ``{code}.pdb/.pdb1/.pdb1.gz``, then the two-character
+    sharded ``<code[1:3]>/{code}.pdb1.gz``. Codes still missing are handed
+    to ``fetcher`` (e.g. :func:`timed_design_tpu.io.fetch.make_fetcher`)
+    when one is given; a failed fetch maps the code to ``None``.
+    """
+    pdb_dir = Path(pdb_dir)
+    out: dict[str, t.Optional[Path]] = {}
+    for key in codes:
+        code = key[:4]
+        found = None
+        for cand in (
+            pdb_dir / f"{code}.pdb",
+            pdb_dir / f"{code}.pdb1",
+            pdb_dir / f"{code}.pdb1.gz",
+            pdb_dir / code[1:3] / f"{code}.pdb1.gz",
+            pdb_dir / code[1:3] / f"{code}.pdb1",
+        ):
+            if cand.exists():
+                found = cand
+                break
+        if found is None and fetcher is not None:
+            try:
+                found = fetcher(code)
+            except Exception as e:  # noqa: BLE001 - per-code isolation
+                print(f"Could not fetch {code}: {e}")
+        out[code] = found
+    return out
+
+
 def tag_structures_with_rotamers(
-    pdb_paths: dict[str, Path],
+    pdb_paths: dict[str, t.Optional[Path]],
+    fetcher: t.Callable[[str], Path] | None = None,
 ) -> tuple[dict[str, list[float]], dict[str, Structure]]:
     """{pdb_code: path} -> ({pdb_code + chain: rotamer codes}, {code: Structure}).
 
-    Reference-shaped outputs (analyse_utils.py:995-1036). Structures load
-    from local paths only (the reference optionally fetched from RCSB —
-    network fetch stays a pluggable hook, not a default, in a zero-egress
-    runtime).
+    Reference-shaped outputs (analyse_utils.py:995-1036). A ``None`` path
+    means "not found locally": when ``fetcher`` is given (an injectable
+    ``code -> Path`` transport, io/fetch.py — the reference's aposteriori
+    ``_fetch_pdb`` call at analyse_utils.py:964), the code is fetched;
+    otherwise it is skipped with the reference's message
+    (analyse_utils.py:955-957).
     """
     result: dict[str, list[float]] = {}
     assemblies: dict[str, Structure] = {}
     for pdb_code, path in pdb_paths.items():
+        if path is None and fetcher is not None:
+            try:
+                path = fetcher(pdb_code[:4])
+            except Exception as e:  # noqa: BLE001 - per-code isolation
+                print(f"Could not fetch {pdb_code}: {e}")
+        if path is None:
+            print(f"Could not find {pdb_code}")
+            continue
         s = load_pdb(Path(path))
         assemblies[pdb_code[:4]] = s
         for chain in s.chains:

@@ -20,7 +20,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Path to {model}_rot.csv (338-class probabilities)")
     p.add_argument("--path_to_datasetmap", type=str, default="datasetmap.txt")
     p.add_argument("--path_to_pdb", type=str, required=True,
-                   help="Directory with PDB structures (local; no network fetch)")
+                   help="Directory with PDB structures (local mirror; "
+                        "missing codes are fetched only with --allow-fetch)")
+    p.add_argument("--allow-fetch", action="store_true", dest="allow_fetch",
+                   help="Download structures missing from the mirror into "
+                        "its sharded layout (default off: no network)")
+    p.add_argument("--fetch_base_url", type=str, default=None,
+                   help="Override the download base URL (default RCSB); "
+                        "useful for internal mirrors and tests")
     # --output_path / --scwrl_path are the reference's spellings
     # (analyse_rotamers.py:148,171) — accepted as aliases for drop-in use
     p.add_argument("--path_to_output", "--output_path", type=str, default=".")
@@ -53,15 +60,20 @@ def main(argv=None) -> None:
     dmap = load_datasetmap(Path(args.path_to_datasetmap), is_old=args.support_old_datasetmap)
     decoded = extract_sequences(dmap, P, rotamer_categories=ROTAMER_CATEGORIES)
 
-    # Locate structures for every chain key
-    pdb_paths = {}
-    for key in decoded.pdb_to_probability:
-        code = key[:4]
-        for cand in (pdb_dir / f"{code}.pdb", pdb_dir / f"{code}.pdb1",
-                     pdb_dir / f"{code}.pdb1.gz", pdb_dir / code[1:3] / f"{code}.pdb1.gz"):
-            if cand.exists():
-                pdb_paths[code] = cand
-                break
+    # Locate structures for every chain key; optionally fetch misses
+    from ..analyse.rotamer import resolve_structure_paths
+
+    fetcher = None
+    if args.allow_fetch:
+        from ..io.fetch import RCSB_BASE_URL, make_fetcher
+
+        fetcher = make_fetcher(
+            pdb_dir, base_url=args.fetch_base_url or RCSB_BASE_URL
+        )
+    pdb_paths = resolve_structure_paths(
+        decoded.pdb_to_probability, pdb_dir, fetcher=fetcher
+    )
+    pdb_paths = {c: p for c, p in pdb_paths.items() if p is not None}
     print(f"Tagging {len(pdb_paths)} structures with crystal rotamers")
     tags, assemblies = tag_structures_with_rotamers(pdb_paths)
 

@@ -17,16 +17,19 @@ API (JSON):
                           sequence, per-residue probabilities, residue ids,
                           timings, the seed used, and optional MC samples.
 
-Threading: requests serialize through a lock — one compiled executable,
-deterministic latency; scale-out is processes/replicas (the TPU way), not
-in-process threads.
+Threading: concurrent requests are COALESCED into shared device batches
+(engine/coalescer.py): a worker thread packs whatever requests are queued
+into one compiled program run and fans the results back, so under N
+clients the 512-frame batch fills with real rows and throughput scales far
+past 1/latency. An idle server runs each request immediately — the default
+collection window is "whatever is queued", not a timer. `--no-coalesce`
+restores the round-2 lock-serialized behavior.
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -45,19 +48,29 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--allow-random-weights", action="store_true",
                    dest="allow_random_weights")
+    p.add_argument("--no-coalesce", action="store_true", dest="no_coalesce",
+                   help="serialize requests through a lock instead of "
+                        "batching concurrent requests into shared device "
+                        "programs")
+    p.add_argument("--coalesce_window_ms", type=float, default=0.0,
+                   help="optional collection window: wait this long for "
+                        "more requests before launching a batch (default "
+                        "0: run with whatever is queued)")
     return p
 
 
 MAX_SAMPLES_PER_REQUEST = 10_000  # one request must not OOM the device
 
 
-def _design_payload(session, pdb_text: str, n_samples: int = 0,
+def _design_payload(designer, pdb_text: str, n_samples: int = 0,
                     temperature: float = 0.2, seed: int | None = None) -> dict:
+    """``designer``: CoalescingDesigner/SerialDesigner — its ``design``
+    returns (probs, FrameAtoms, timings) and is safe from any thread."""
     from ..constants import AA1, compress_rotamer_probs
     from ..structure import parse_pdb_string
 
     structure = parse_pdb_string(pdb_text, name="query")[0]
-    probs, fa = session.design(structure)
+    probs, fa, timings = designer.design(structure)
     probs = np.asarray(probs)
     rotamer = probs.shape[1] == 338
     probs20 = compress_rotamer_probs(probs) if rotamer else probs
@@ -68,7 +81,10 @@ def _design_payload(session, pdb_text: str, n_samples: int = 0,
         "rotamer_head": rotamer,
         "residues": [f"{c}{r}" for c, r in zip(fa.chain_ids, fa.residue_ids)],
         "probabilities": np.asarray(probs20).round(6).tolist(),
-        "timings_s": {k: round(v, 4) for k, v in session.last_timings.items()},
+        "timings_s": {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in timings.items()
+        },
     }
     if n_samples > 0:
         import jax
@@ -94,8 +110,8 @@ def _design_payload(session, pdb_text: str, n_samples: int = 0,
     return out
 
 
-def make_server(session, host: str, port: int, model_name: str):
-    lock = threading.Lock()
+def make_server(designer, host: str, port: int, model_name: str):
+    session = designer.session
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -112,7 +128,8 @@ def make_server(session, host: str, port: int, model_name: str):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", "model": model_name,
-                                 "n_classes": session.n_classes})
+                                 "n_classes": session.n_classes,
+                                 "coalescer": dict(designer.stats)})
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -154,10 +171,13 @@ def make_server(session, host: str, port: int, model_name: str):
                 self._send(400, {"error": "temperature must be >= 0"})
                 return
             try:
-                with lock:  # one compiled executable; serialize device work
-                    payload = _design_payload(
-                        session, pdb_text, n_samples, temperature, seed
-                    )
+                # the designer batches concurrent requests into shared
+                # device programs; MC sampling below runs on this request
+                # thread (device dispatch is thread-safe) so the worker
+                # keeps coalescing predictions meanwhile
+                payload = _design_payload(
+                    designer, pdb_text, n_samples, temperature, seed
+                )
             except Exception as e:  # noqa: BLE001 - surface as HTTP 422
                 self._send(422, {"error": str(e)})
                 return
@@ -170,18 +190,29 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from ..engine import DesignSession
 
+    from ..engine.coalescer import CoalescingDesigner, SerialDesigner
+
     session = DesignSession(
         args.model, codec=args.codec, batch_size=args.batch_size,
         compute_dtype=args.compute_dtype,
         allow_random_weights=args.allow_random_weights,
     )
-    server = make_server(session, args.host, args.port, session.model_name)
-    print(f"Serving {session.model_name} ({session.n_classes} classes) "
-          f"on http://{args.host}:{args.port}  (POST /design, GET /healthz)")
+    designer = (
+        SerialDesigner(session)
+        if args.no_coalesce
+        else CoalescingDesigner(session, window_ms=args.coalesce_window_ms)
+    )
+    server = make_server(designer, args.host, args.port, session.model_name)
+    mode = "serial" if args.no_coalesce else "coalescing"
+    print(f"Serving {session.model_name} ({session.n_classes} classes, "
+          f"{mode}) on http://{args.host}:{args.port}  "
+          f"(POST /design, GET /healthz)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        designer.close()
 
 
 if __name__ == "__main__":

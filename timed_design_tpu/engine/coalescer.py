@@ -1,0 +1,248 @@
+"""Request coalescing: pack concurrent design requests into shared device
+batches.
+
+The TPU-idiomatic serving design: one chip eats a 512-frame batch in ~18 ms
+(BASELINE.md), but a single design request is typically a 76-residue
+backbone — running requests one-at-a-time through the compiled batch leaves
+>80% of each program's rows as padding and caps throughput at 1/latency
+(the round-2 `td-serve` design: a global lock, cli/serve.py). Here a worker
+thread drains every request queued at the moment the device frees up,
+voxelizes each, concatenates their frames into the predictor's compiled
+batch, runs ONE program, and fans per-request slices back through futures.
+Under N concurrent clients the batch fills with real rows and throughput
+scales far past 1/latency; an idle server still runs each request
+immediately (zero added latency — the default collection window is
+"whatever is queued", not a timer).
+
+The reference has no serving story beyond its per-request streamlit app
+(reference ui.py:916-947: re-voxelize to an intermediate HDF5 on disk per
+click), so this surface is framework-only.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import typing as t
+from concurrent.futures import Future
+
+import numpy as np
+
+_CLOSE = object()
+
+
+class CoalescingDesigner:
+    """Thread-safe façade over a :class:`DesignSession` that batches
+    concurrent ``design`` calls into shared device programs.
+
+    Parameters
+    ----------
+    session:
+        The compiled DesignSession (one model, one mesh).
+    max_group_residues:
+        Stop draining the queue once this many frame rows are gathered in
+        one group (bounds host memory and keeps the pipeline moving).
+        Defaults to 8x the predictor's compiled batch.
+    window_ms:
+        Optional collection window. 0 (default) = run with whatever is
+        queued when the worker frees up — no added latency for idle
+        servers. >0 trades that much latency for potentially fuller
+        batches under bursty load.
+    """
+
+    def __init__(
+        self,
+        session,
+        max_group_residues: int | None = None,
+        window_ms: float = 0.0,
+    ):
+        self.session = session
+        self.max_group_residues = (
+            max_group_residues or 8 * session.predictor.batch_size
+        )
+        self.window_s = window_ms / 1e3
+        self._queue: queue.Queue = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "groups": 0,
+            "max_group_requests": 0,
+            "max_group_residues": 0,
+        }
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="coalescer"
+        )
+        self._thread.start()
+
+    # -------------------------------------------------- public surface
+    def design(self, structure) -> tuple[np.ndarray, t.Any, dict]:
+        """Blocking: parse-ready Structure -> (probs, FrameAtoms, timings).
+
+        Called from any number of request threads. ``timings`` carries the
+        per-request voxelisation time, the shared prediction time of the
+        group this request rode in, and the group's size (so callers can
+        see the coalescing that actually happened).
+        """
+        fut: Future = Future()
+        self._queue.put((structure, fut, time.perf_counter()))
+        return fut.result()
+
+    def close(self) -> None:
+        self._queue.put(_CLOSE)
+        self._thread.join(timeout=10)
+
+    # -------------------------------------------------- worker
+    def _drain_group(self) -> list | None:
+        """Block for the first request, then gather everything already
+        queued (plus anything arriving inside the optional window)."""
+        first = self._queue.get()
+        if first is _CLOSE:
+            return None
+        group = [first]
+        residues = first[0].n_residues
+        deadline = time.perf_counter() + self.window_s
+        while residues < self.max_group_residues:
+            try:
+                timeout = deadline - time.perf_counter()
+                item = (
+                    self._queue.get(timeout=timeout)
+                    if timeout > 0
+                    else self._queue.get_nowait()
+                )
+            except queue.Empty:
+                break
+            if item is _CLOSE:
+                self._queue.put(_CLOSE)  # re-post so the loop exits next
+                break
+            group.append(item)
+            residues += item[0].n_residues
+        return group
+
+    def _loop(self) -> None:
+        while True:
+            group = self._drain_group()
+            if group is None:
+                return
+            try:
+                self._run_group(group)
+            except BaseException as e:  # noqa: BLE001 - worker must survive
+                for _, fut, _ in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _run_group(self, group: list) -> None:
+        from ..voxel import structure_to_frame_atoms, voxelize_frame_atoms
+
+        session = self.session
+        # Voxelize per request (frames stay device-resident); a bad
+        # structure fails only its own future.
+        ready: list[tuple[Future, t.Any, t.Any, float]] = []
+        for structure, fut, t_enq in group:
+            try:
+                t0 = time.perf_counter()
+                fa = structure_to_frame_atoms(structure, session.codec)
+                frames = voxelize_frame_atoms(
+                    fa, session.codec, gaussian=session.gaussian
+                )
+                ready.append((fut, fa, frames, time.perf_counter() - t0))
+            except Exception as e:  # noqa: BLE001 - isolate per request
+                fut.set_exception(e)
+        if not ready:
+            return
+
+        t1 = time.perf_counter()
+        if len(ready) == 1:
+            # solo request: the predictor's own pad-and-run path, no
+            # packing dispatches
+            probs = session.predictor.predict_probs(ready[0][2])
+        else:
+            probs = self._predict_packed([r[2] for r in ready])
+        dt_predict = time.perf_counter() - t1
+
+        n_res = int(sum(r[2].shape[0] for r in ready))
+        with self._stats_lock:
+            s = self.stats
+            s["requests"] += len(ready)
+            s["groups"] += 1
+            s["max_group_requests"] = max(s["max_group_requests"], len(ready))
+            s["max_group_residues"] = max(s["max_group_residues"], n_res)
+
+        self._fanout(ready, probs, dt_predict, n_res)
+
+    def _predict_packed(self, parts: list) -> np.ndarray:
+        """Pack per-request device frames into shared compiled batches.
+
+        Shape discipline is the whole game here: a naive
+        ``jnp.concatenate(parts)`` is keyed on the full tuple of input
+        shapes, so every new group composition compiles a fresh XLA
+        program (measured on the TPU tunnel: coalescing ran SLOWER than
+        the serial lock because of exactly this churn). Instead each
+        request is written into a chunk-granular zeros buffer with
+        ``dynamic_update_slice`` at a *dynamic* offset — the only program
+        keys are (buffer chunk count, request length), and a new protein
+        length already costs a voxelizer compile anyway. The buffer then
+        streams through the predictor's fixed compiled batch program.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        predictor = self.session.predictor
+        B = predictor.batch_size
+        dtype = predictor._transfer_dtype or parts[0].dtype
+        total = sum(int(p.shape[0]) for p in parts)
+        rows = -(-total // B) * B
+        buf = jnp.zeros((rows, *parts[0].shape[1:]), dtype)
+        offset = 0
+        for p in parts:
+            buf = jax.lax.dynamic_update_slice(
+                buf, p.astype(dtype),
+                (jnp.int32(offset),) + (0,) * (buf.ndim - 1),
+            )
+            offset += int(p.shape[0])
+        chunks = (
+            (buf[s : s + B], min(B, total - s)) for s in range(0, total, B)
+        )
+        out = list(predictor.predict_stream(chunks))
+        return np.concatenate(out)
+
+    def _fanout(self, ready: list, probs: np.ndarray, dt_predict: float,
+                n_res: int) -> None:
+        offset = 0
+        for fut, fa, frames, dt_vox in ready:
+            r = int(frames.shape[0])
+            timings = {
+                "voxelisation": dt_vox,
+                "prediction": dt_predict,
+                "group_requests": len(ready),
+                "group_residues": n_res,
+            }
+            fut.set_result((probs[offset : offset + r], fa, timings))
+            offset += r
+
+
+class SerialDesigner:
+    """Lock-serialized fallback with the CoalescingDesigner interface —
+    used when coalescing is explicitly disabled (--no-coalesce)."""
+
+    def __init__(self, session):
+        self.session = session
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "groups": 0,
+                      "max_group_requests": 1, "max_group_residues": 0}
+
+    def design(self, structure):
+        with self._lock:
+            probs, fa = self.session.design(structure)
+            timings = dict(self.session.last_timings)
+            timings["group_requests"] = 1
+            timings["group_residues"] = int(np.asarray(probs).shape[0])
+            self.stats["requests"] += 1
+            self.stats["groups"] += 1
+            self.stats["max_group_residues"] = max(
+                self.stats["max_group_residues"],
+                timings["group_residues"],
+            )
+            return probs, fa, timings
+
+    def close(self) -> None:
+        pass

@@ -53,6 +53,13 @@ def _parse_args(argv):
     p.add_argument("--path_to_models", type=str, default="models")
     p.add_argument("--path_to_pdb", type=str, default=None,
                    help="Optional local PDB mirror (searched for codes)")
+    p.add_argument("--allow-fetch", action="store_true", dest="allow_fetch",
+                   help="Fetch PDB codes missing from the mirror from RCSB "
+                        "into the mirror's sharded layout (default off) — "
+                        "the reference UI's remote lookup, ui.py:889-905")
+    p.add_argument("--fetch_base_url", type=str, default=None,
+                   help="Override the download base URL (internal mirrors, "
+                        "tests)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=512,
                    help="Frames per compiled device step (reference UI "
@@ -135,6 +142,19 @@ def _load_structures(cfg, args):
     elif cfg["pdb_code"] and args.path_to_pdb:
         base = Path(args.path_to_pdb)
         hits = list(base.glob(f"**/{cfg['pdb_code']}*.pdb*"))
+        if not hits and getattr(args, "allow_fetch", False):
+            from .io.fetch import RCSB_BASE_URL, make_fetcher
+
+            try:
+                fetched = make_fetcher(
+                    base,
+                    base_url=getattr(args, "fetch_base_url", None)
+                    or RCSB_BASE_URL,
+                )(cfg["pdb_code"])
+                hits = [fetched]
+            except Exception as e:  # noqa: BLE001 - report in the UI
+                st.error(f"Fetch failed for {cfg['pdb_code']}: {e}")
+                return None
         if not hits:
             st.error(f"No structure for code {cfg['pdb_code']} under {base}")
             return None
@@ -199,6 +219,7 @@ def _probability_heatmap(probs20, native_seq, rotamer_probs=None,
     ax.legend(loc="upper right", fontsize=8)
     fig.colorbar(im, label="Probability (%)")
     st.pyplot(fig)
+    plt.close(fig)
     st.write('"Red circle" marks the residue in the original sequence.')
     if rotamer_probs is not None:
         with st.expander("See Predicted Probabilities (Very Large Chart)"):
@@ -212,6 +233,7 @@ def _probability_heatmap(probs20, native_seq, rotamer_probs=None,
             ax2.set_xlabel("Position")
             fig2.colorbar(im2, label="Probability (%)")
             st.pyplot(fig2)
+            plt.close(fig2)
 
 
 def _position_explorer(probs, residue_map, categories):
@@ -290,6 +312,9 @@ def _draw_output_section(model_name, probs, probs20, designed_seq,
     st.line_chart(calculate_prediction_entropy(probs20))
     st.subheader("Sequence logo")
     st.pyplot(create_sequence_logo(probs20))
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
     st.download_button(
         "Download probabilities CSV",
         "\n".join(",".join(f"{v:.6f}" for v in row) for row in probs),
@@ -321,6 +346,7 @@ def _draw_performance_section(designed_seq, native_seq):
     ax.set_ylabel("Native")
     fig.colorbar(im)
     st.pyplot(fig)
+    plt.close(fig)
 
 
 def _draw_optimisation_section(cfg, probs, native_seq, rotamer):
@@ -376,6 +402,7 @@ def _draw_structure_view(structure):
                 ax.set_title(f"CA trace ({lbl})")
                 ax.set_aspect("equal")
             st.pyplot(fig)
+            plt.close(fig)
 
 
 # --------------------------------------------------------------------- main
