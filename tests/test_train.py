@@ -285,3 +285,19 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored_t["params"])[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
+
+
+def test_fit_handles_batch_indivisible_by_mesh():
+    """A loader whose FULL batch size isn't divisible by the data axis
+    (38 frames on the suite's 8-device mesh) must train, not crash in
+    device_put — fit rounds the batch up with repeated valid rows (found
+    by examples/full_workflow.py under the CI mesh)."""
+    module = timed(filters=(4,), bn_momentum=0.5)
+    rng = np.random.default_rng(0)
+    X = rng.random((38, 21, 21, 21, 5)).astype(np.float32)
+    y = np.zeros((38, 20), np.float32)
+    y[np.arange(38), rng.integers(0, 20, 38)] = 1.0
+    from timed_design_tpu.train import fit
+
+    state = fit(module, [(X, y, 38)] * 3, n_classes=20, log_every=10)
+    assert int(state.step) == 3

@@ -309,3 +309,44 @@ def test_flat_compression_honored(tmp_path):
         g = f["1ubq"]
         ch = g[list(g.keys())[0]]
         assert ch[list(ch.keys())[0]].compression is None
+
+
+def test_gaussian_convention_insensitivity():
+    """Pin the sensitivity bound from scripts/gaussian_sensitivity.py
+    (docs/VOXELIZER_SPEC.md §4): the [RECONSTRUCTED] integral-vs-pdf
+    spreading ambiguity moves frame densities < 2e-3 and does NOT change
+    any argmax prediction of a model run on either convention. If a
+    voxelizer change breaks this bound, the convention risk is no longer
+    formally bounded and the spec's claim must be re-measured."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timed_design_tpu.models import timed
+    from timed_design_tpu.structure import load_pdb
+    from timed_design_tpu.voxel import (
+        Codec,
+        structure_to_frame_atoms,
+        voxelize_frame_atoms,
+    )
+
+    src = Path(__file__).parent / "testing_files" / "1ubq.pdb1.gz"
+    codec = Codec.from_string("CNOCACB")
+    fa = structure_to_frame_atoms(load_pdb(src), codec)
+    fi = np.asarray(
+        voxelize_frame_atoms(fa, codec, impl="scatter", spread="integral")
+    )
+    fp = np.asarray(
+        voxelize_frame_atoms(fa, codec, impl="scatter", spread="pdf")
+    )
+    assert np.abs(fi - fp).max() < 2e-3  # measured 9.68e-4
+
+    module = timed(filters=(8, 16))
+    variables = jax.jit(module.init)(
+        jax.random.key(3), jnp.zeros((1, 21, 21, 21, 5))
+    )
+    fwd = jax.jit(module.apply)
+    pa = np.asarray(fwd(variables, jnp.asarray(fi)))
+    pb = np.asarray(fwd(variables, jnp.asarray(fp)))
+    assert (pa.argmax(1) == pb.argmax(1)).all()
+    assert np.abs(pa - pb).max() < 1e-4  # measured <= 2.3e-5 across models

@@ -158,13 +158,20 @@ def fit(
             # labels keep BN statistics clean (repeats only slightly
             # overweight those frames). Costs at most one extra compile for
             # the final partial batch shape.
-            if n_valid < X.shape[0]:
-                keep = max(n_data, -(-n_valid // n_data) * n_data)
-                X, y = np.array(X[:keep]), np.array(y[:keep])
+            # The same mechanism also fixes a FULL batch whose size isn't
+            # divisible by the data axis (e.g. a 38-frame loader on an
+            # 8-device mesh): round up to the next multiple and fill with
+            # repeats.
+            keep = max(n_data, -(-n_valid // n_data) * n_data)
+            if n_valid < X.shape[0] or keep != X.shape[0]:
+                Xn = np.empty((keep, *X.shape[1:]), dtype=np.asarray(X).dtype)
+                yn = np.empty((keep, y.shape[1]), dtype=np.asarray(y).dtype)
+                Xn[:n_valid], yn[:n_valid] = X[:n_valid], y[:n_valid]
                 if keep > n_valid:
                     src = np.arange(keep - n_valid) % n_valid
-                    X[n_valid:] = X[src]
-                    y[n_valid:] = y[src]
+                    Xn[n_valid:] = X[src]
+                    yn[n_valid:] = y[src]
+                X, y = Xn, yn
             rng, sub = jax.random.split(rng)
             x_dev = jax.device_put(jnp.asarray(X, jnp.float32), bsh)
             y_dev = jax.device_put(jnp.asarray(y, jnp.float32), bsh)
