@@ -17,6 +17,9 @@ from __future__ import annotations
 import functools
 import sys
 import time
+from pathlib import Path as _Path
+
+sys.path.insert(0, str(_Path(__file__).parent.parent))  # repo root
 
 import numpy as np
 
@@ -43,10 +46,18 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from timed_design_tpu.models import timed
-
     quick = "--quick" in sys.argv
-    model = timed(compute_dtype=jnp.bfloat16)
+    # --model NAME: sweep any registry architecture (default: TIMED).
+    # Round-3 use: the roofline table (scripts/rooflines.py) showed the
+    # Dense models HBM-bound at ~44-48% of roofline, so they get their own
+    # bounded pass here.
+    model_name = "TIMED"
+    if "--model" in sys.argv:
+        model_name = sys.argv[sys.argv.index("--model") + 1]
+    from timed_design_tpu.models import get_model_spec
+
+    spec = get_model_spec(model_name)
+    model = spec.build(compute_dtype=jnp.bfloat16)
     batch = 512
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, 21, 21, 21, 5)), jnp.bfloat16

@@ -187,6 +187,7 @@ def test_create_rot_cm_semantics(tmp_path, monkeypatch):
             assert mat.shape == (len(y), len(y)) and len(y) > 1
 
 
+@pytest.mark.slow
 def test_run_model_benchmark(tmp_path):
     """Zoo benchmark driver (role of scripts/run_benchmark_models.sh):
     one model over the 1ubq dataset, per-model output dir + recovery metrics."""

@@ -28,7 +28,7 @@ def server_url(tmp_path_factory):
     )
     from timed_design_tpu.engine.coalescer import CoalescingDesigner
 
-    session = DesignSession(str(h5), codec="CNOCACB", batch_size=128)
+    session = DesignSession(str(h5), codec="CNOCACB", batch_size=80)
     designer = CoalescingDesigner(session)
     server = make_server(designer, "127.0.0.1", 0, "TIMED")
     port = server.server_address[1]
@@ -144,6 +144,7 @@ def test_design_sampling_seed_semantics(server_url, ubq_pdb_gz):
     ]
 
 
+@pytest.mark.slow
 def test_load_concurrent_requests_coalesce(server_url, ubq_pdb_gz):
     """N threads x M requests against the live server: concurrent requests
     must ride shared device batches (coalescer stats + per-response group

@@ -167,7 +167,7 @@ def test_ui_full_design_flow(monkeypatch, ubq, models_dir):
     }
     fake = _run_ui(monkeypatch, responses,
                    argv=["--path_to_models", str(models_dir),
-                         "--batch_size", "128"])
+                         "--batch_size", "80"])
     kinds = fake.kinds()
     # the design ran (real .h5 weights auto-discovered) + every section drew
     assert "success" in kinds
@@ -216,7 +216,7 @@ def test_ui_nmr_consensus_flow(monkeypatch, ubq, tmp_path, models_dir):
     }
     fake = _run_ui(monkeypatch, responses,
                    argv=["--path_to_models", str(models_dir),
-                         "--batch_size", "128"])
+                         "--batch_size", "80"])
     succ = [a for k, a in fake.calls if k == "success"]
     assert succ and "2 NMR states" in succ[0]
 
@@ -233,7 +233,7 @@ def test_ui_results_survive_widget_rerun(monkeypatch, ubq, models_dir):
     }
     fake = FakeStreamlit(responses)
     monkeypatch.setattr(ui, "st", fake)
-    argv = ["--path_to_models", str(models_dir), "--batch_size", "128"]
+    argv = ["--path_to_models", str(models_dir), "--batch_size", "80"]
     ui.main(list(argv))
     assert "success" in fake.kinds()
     # rerun: button no longer pressed, same session_state (streamlit keeps
@@ -278,7 +278,7 @@ def test_ui_property_constrained_design(monkeypatch, ubq, tmp_path):
     }
     fake = _run_ui(monkeypatch, responses,
                    argv=["--path_to_models", str(tmp_path),
-                         "--batch_size", "128"])
+                         "--batch_size", "80"])
     kinds = fake.kinds()
     assert "success" in kinds
     texts = fake.texts()
@@ -307,7 +307,7 @@ def test_ui_pdb_code_mirror_lookup(monkeypatch, ubq, tmp_path, models_dir):
     fake = _run_ui(monkeypatch, responses,
                    argv=["--path_to_models", str(models_dir),
                          "--path_to_pdb", str(tmp_path / "mirror"),
-                         "--batch_size", "128"])
+                         "--batch_size", "80"])
     assert "success" in fake.kinds()
 
     responses["Enter a PDB Code:"] = "9zzz"
