@@ -221,6 +221,7 @@ def test_overfit_1ubq_frames_learns_residue_signal(tmp_path, ubq_pdb_gz):
     assert float(m["loss"]) < first_loss - 0.8
 
 
+@pytest.mark.slow
 def test_fit_drops_loader_padding():
     """fit() must slice batches to n_valid: padded zero frames (zero labels)
     pollute BatchNorm batch statistics and dilute metrics — found on real

@@ -221,6 +221,7 @@ def test_ui_nmr_consensus_flow(monkeypatch, ubq, tmp_path, models_dir):
     assert succ and "2 NMR states" in succ[0]
 
 
+@pytest.mark.slow
 def test_ui_results_survive_widget_rerun(monkeypatch, ubq, models_dir):
     """After Design! ran once, a rerun where the button returns False (any
     widget interaction) must re-render the results from session state —
@@ -318,6 +319,7 @@ def test_ui_pdb_code_mirror_lookup(monkeypatch, ubq, tmp_path, models_dir):
     assert errs and "No structure for code 9zzz" in errs[0]
 
 
+@pytest.mark.slow
 def test_ui_pdb_code_fetch(monkeypatch, ubq, tmp_path, models_dir):
     """--allow-fetch: a code missing from the mirror is downloaded from the
     configured base URL into the mirror's sharded layout and designed
