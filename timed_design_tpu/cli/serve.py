@@ -37,9 +37,11 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Serve sequence design over HTTP")
-    p.add_argument("--model", type=str, required=True,
+    p.add_argument("--model", type=str, required=True, action="append",
                    help=".h5 weights, Name@checkpoint.npz, or registry name "
-                        "with --allow-random-weights")
+                        "with --allow-random-weights. Repeatable: every "
+                        "model loads at startup, requests pick one with a "
+                        '"model" field (default: the first)')
     p.add_argument("--codec", type=str, default=None)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
@@ -110,8 +112,15 @@ def _design_payload(designer, pdb_text: str, n_samples: int = 0,
     return out
 
 
-def make_server(designer, host: str, port: int, model_name: str):
+def make_server(designer, host: str, port: int, model_name: str,
+                extra_designers: dict | None = None):
+    """``designer``/``model_name``: the default model. ``extra_designers``:
+    {name: designer} for additional models — a request's JSON ``"model"``
+    field picks one; same-model requests coalesce together (each model has
+    its own worker/queue, so mixed traffic never packs incompatible
+    heads)."""
     session = designer.session
+    designers = {model_name: designer, **(extra_designers or {})}
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -128,6 +137,10 @@ def make_server(designer, host: str, port: int, model_name: str):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", "model": model_name,
+                                 "models": {
+                                     name: d.session.n_classes
+                                     for name, d in designers.items()
+                                 },
                                  "n_classes": session.n_classes,
                                  "coalescer": dict(designer.stats)})
             else:
@@ -140,6 +153,7 @@ def make_server(designer, host: str, port: int, model_name: str):
             length = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(length).decode()
             n_samples, temperature, seed = 0, 0.2, None
+            req_model = model_name
             pdb_text = raw
             if raw.lstrip()[:1] in ("{", "["):  # JSON body (PDB text can't start with these)
                 # TypeError included: non-dict JSON bodies ('[1,2]') and
@@ -156,6 +170,9 @@ def make_server(designer, host: str, port: int, model_name: str):
                     temperature = 0.2 if t is None else float(t)
                     seed = req.get("seed")
                     seed = None if seed is None else int(seed)
+                    req_model = req.get("model") or model_name
+                    if not isinstance(req_model, str):
+                        raise TypeError("'model' must be a string")
                 except (ValueError, KeyError, TypeError, OverflowError) as e:
                     # OverflowError: {"n_samples": 1e400} parses to inf and
                     # int(inf) raises it — must be a 400, not a dropped
@@ -170,17 +187,24 @@ def make_server(designer, host: str, port: int, model_name: str):
             if not temperature >= 0:  # also rejects NaN
                 self._send(400, {"error": "temperature must be >= 0"})
                 return
+            d = designers.get(req_model)
+            if d is None:
+                self._send(400, {
+                    "error": f"unknown model {req_model!r}; serving: "
+                             f"{sorted(designers)}"})
+                return
             try:
                 # the designer batches concurrent requests into shared
                 # device programs; MC sampling below runs on this request
                 # thread (device dispatch is thread-safe) so the worker
                 # keeps coalescing predictions meanwhile
                 payload = _design_payload(
-                    designer, pdb_text, n_samples, temperature, seed
+                    d, pdb_text, n_samples, temperature, seed
                 )
             except Exception as e:  # noqa: BLE001 - surface as HTTP 422
                 self._send(422, {"error": str(e)})
                 return
+            payload["model"] = req_model
             self._send(200, payload)
 
     return ThreadingHTTPServer((host, port), Handler)
@@ -192,19 +216,35 @@ def main(argv=None) -> None:
 
     from ..engine.coalescer import CoalescingDesigner, SerialDesigner
 
-    session = DesignSession(
-        args.model, codec=args.codec, batch_size=args.batch_size,
-        compute_dtype=args.compute_dtype,
-        allow_random_weights=args.allow_random_weights,
+    def make_designer(model: str):
+        session = DesignSession(
+            model, codec=args.codec, batch_size=args.batch_size,
+            compute_dtype=args.compute_dtype,
+            allow_random_weights=args.allow_random_weights,
+        )
+        return (
+            SerialDesigner(session)
+            if args.no_coalesce
+            else CoalescingDesigner(session, window_ms=args.coalesce_window_ms)
+        )
+
+    designers = {}
+    for model in args.model:  # repeatable --model: one designer each
+        d = make_designer(model)
+        name = d.session.model_name
+        if name in designers:
+            raise SystemExit(f"duplicate model name {name!r}")
+        designers[name] = d
+    default_name = next(iter(designers))
+    designer = designers[default_name]
+    server = make_server(
+        designer, args.host, args.port, default_name,
+        extra_designers={
+            k: v for k, v in designers.items() if k != default_name
+        },
     )
-    designer = (
-        SerialDesigner(session)
-        if args.no_coalesce
-        else CoalescingDesigner(session, window_ms=args.coalesce_window_ms)
-    )
-    server = make_server(designer, args.host, args.port, session.model_name)
     mode = "serial" if args.no_coalesce else "coalescing"
-    print(f"Serving {session.model_name} ({session.n_classes} classes, "
+    print(f"Serving {', '.join(designers)} (default {default_name}, "
           f"{mode}) on http://{args.host}:{args.port}  "
           f"(POST /design, GET /healthz)")
     try:
@@ -212,7 +252,8 @@ def main(argv=None) -> None:
     except KeyboardInterrupt:
         pass
     finally:
-        designer.close()
+        for d in designers.values():
+            d.close()
 
 
 if __name__ == "__main__":
