@@ -73,8 +73,10 @@ def test_bad_structure_fails_only_its_own_request(session, ubq_structure):
     from timed_design_tpu.engine.coalescer import CoalescingDesigner
 
     class Broken:
+        # deliberately WITHOUT n_residues: the worker's drain loop must
+        # survive a malformed structure (count it as 0) so only this
+        # request's future fails, not every later request
         name = "broken"
-        n_residues = 5
 
     designer = CoalescingDesigner(session)
     try:
@@ -113,3 +115,7 @@ def test_close_is_idempotent_and_pending_window(session, ubq_structure):
     assert timings["group_requests"] == 1
     designer.close()
     designer.close()
+    # a design() after close must fail fast, not hang on a future the
+    # (exited) worker will never resolve
+    with pytest.raises(RuntimeError, match="closed"):
+        designer.design(ubq_structure)

@@ -69,6 +69,7 @@ class CoalescingDesigner:
             "max_group_requests": 0,
             "max_group_residues": 0,
         }
+        self._closed = False
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name="coalescer"
         )
@@ -83,11 +84,16 @@ class CoalescingDesigner:
         group this request rode in, and the group's size (so callers can
         see the coalescing that actually happened).
         """
+        if self._closed:
+            # after close() the worker is gone; enqueueing would hang the
+            # caller forever on a future nothing will ever resolve
+            raise RuntimeError("CoalescingDesigner is closed")
         fut: Future = Future()
         self._queue.put((structure, fut, time.perf_counter()))
         return fut.result()
 
     def close(self) -> None:
+        self._closed = True
         self._queue.put(_CLOSE)
         self._thread.join(timeout=10)
 
@@ -99,7 +105,10 @@ class CoalescingDesigner:
         if first is _CLOSE:
             return None
         group = [first]
-        residues = first[0].n_residues
+        # a malformed "structure" without n_residues must not kill the
+        # worker here (which would hang every later request) — count it as
+        # 0 and let _run_group fail just that request's future
+        residues = getattr(first[0], "n_residues", 0)
         deadline = time.perf_counter() + self.window_s
         while residues < self.max_group_residues:
             try:
@@ -115,7 +124,7 @@ class CoalescingDesigner:
                 self._queue.put(_CLOSE)  # re-post so the loop exits next
                 break
             group.append(item)
-            residues += item[0].n_residues
+            residues += getattr(item[0], "n_residues", 0)
         return group
 
     def _loop(self) -> None:
