@@ -52,6 +52,7 @@ def ref():
     ampal.Assembly = type("Assembly", (), {})
     ampal.AmpalContainer = type("AmpalContainer", (), {})
     ampal.Polypeptide = type("Polypeptide", (), {})
+    ampal.Polymer = type("Polymer", (), {})
     ampal.load_pdb = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("ampal not available in tests")
     )
@@ -80,30 +81,50 @@ def ref():
     apost.data_prep = apost_dp
     apost_dp.create_frame_data_set = apost_cf
 
-    # sampling_utils only needs calculate_seq_metrics from analyse_utils
-    # (whose real module needs logomaker, absent here)
-    fake_analyse = types.ModuleType("design_utils.analyse_utils")
-    from timed_design_tpu.sample.metrics import calculate_seq_metrics
+    # the REAL analyse_utils imports ampal.analyse_protein sequence metrics
+    # (shimmed with our implementations — those four are separately
+    # parity-anchored by tests/test_sampling.py's invariants) and logomaker
+    # (plot library, shimmed inert: no oracle test exercises logos)
+    ap_mod = types.ModuleType("ampal.analyse_protein")
+    from timed_design_tpu.sample.metrics import (
+        sequence_charge,
+        sequence_isoelectric_point,
+        sequence_molar_extinction_280,
+        sequence_molecular_weight,
+    )
 
-    fake_analyse.calculate_seq_metrics = calculate_seq_metrics
+    ap_mod.sequence_charge = sequence_charge
+    ap_mod.sequence_isoelectric_point = sequence_isoelectric_point
+    ap_mod.sequence_molar_extinction_280 = sequence_molar_extinction_280
+    ap_mod.sequence_molecular_weight = sequence_molecular_weight
+    ampal.analyse_protein = ap_mod
+    logomaker = types.ModuleType("logomaker")
+    logomaker.Logo = type("Logo", (), {"__init__": lambda self, *a, **k: None})
 
     shims = {
         "ampal": ampal,
         "ampal.amino_acids": aa_mod,
+        "ampal.analyse_protein": ap_mod,
         "aposteriori": apost,
         "aposteriori.config": apost_cfg,
         "aposteriori.data_prep": apost_dp,
         "aposteriori.data_prep.create_frame_data_set": apost_cf,
-        "design_utils.analyse_utils": fake_analyse,
+        "logomaker": logomaker,
     }
     saved = {k: sys.modules.get(k) for k in shims}
     sys.modules.update(shims)
     sys.path.insert(0, str(REFERENCE))
     try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import design_utils.analyse_utils as ref_analyse
         import design_utils.sampling_utils as ref_sampling
         import design_utils.utils as ref_utils
 
-        yield types.SimpleNamespace(utils=ref_utils, sampling=ref_sampling)
+        yield types.SimpleNamespace(
+            utils=ref_utils, sampling=ref_sampling, analyse=ref_analyse
+        )
     finally:
         sys.path.remove(str(REFERENCE))
         for k, v in saved.items():
@@ -112,7 +133,8 @@ def ref():
             else:
                 sys.modules[k] = v
         for k in ("design_utils", "design_utils.utils",
-                  "design_utils.sampling_utils"):
+                  "design_utils.sampling_utils", "design_utils.scwrl_utils",
+                  "design_utils.analyse_utils"):
             sys.modules.pop(k, None)
 
 
@@ -325,3 +347,142 @@ def test_temperature_scaling_matches_reference(ref):
             atol=1e-9,
             err_msg=f"T={T}",
         )
+
+
+# ------------------------------------------------------------- constants
+def test_blosum62_matches_reference_everywhere(ref):
+    """All 400 standard-residue pairs through the reference's own
+    upper-triangular dict (utils.py:806-1083) vs our dense NCBI matrix."""
+    from timed_design_tpu.constants import AA1, lookup_blosum62
+
+    for a in AA1:
+        for b in AA1:
+            assert lookup_blosum62(a, b) == ref.utils.lookup_blosum62(a, b), (a, b)
+
+
+def test_property_encoding_matches_reference(ref):
+    from timed_design_tpu.constants import AA1
+    from timed_design_tpu.structure.properties import convert_seq_to_property
+
+    seq = "".join(AA1) + "".join(reversed(AA1))
+    for prop in ("polarity", "charge"):
+        assert convert_seq_to_property(seq, prop) == \
+            ref.utils.convert_seq_to_property(seq, prop), prop
+    # unknown letters: polarity maps them to 0 in the reference
+    assert convert_seq_to_property("AXA", "polarity") == \
+        ref.utils.convert_seq_to_property("AXA", "polarity")
+
+
+def test_property_cache_key_matches_reference(ref):
+    """The alphanumeric cache key must match EXACTLY — it names the cached
+    voxelized dataset for a property map (utils.py:774-803), so a mismatch
+    would silently miss / collide caches across implementations."""
+    from timed_design_tpu.structure.properties import (
+        create_map_alphanumeric_code,
+    )
+
+    for pmap in ([0, 1, 0, 1, 1], [0, -1, 1, 0], [0] * 12, [1, -1] * 7):
+        assert create_map_alphanumeric_code(np.array(pmap)) == \
+            ref.utils.create_map_alphanumeric_code(np.array(pmap)), pmap
+
+
+# ------------------------------------------------------------- analyse
+def test_prediction_entropy_matches_reference(ref):
+    from timed_design_tpu.analyse import calculate_prediction_entropy
+
+    rng = np.random.default_rng(7)
+    P = rng.random((25, 20))
+    P /= P.sum(1, keepdims=True)
+    np.testing.assert_allclose(
+        calculate_prediction_entropy(P),
+        ref.analyse.calculate_prediction_entropy(P),
+        atol=1e-12,
+    )
+
+
+def test_calculate_metrics_accuracies_match_reference(ref):
+    """Accuracies equal; and the reference's documented sklearn arg swap
+    (PARITY.md deviations: analyse_utils.py:628-728 passes predictions
+    where sklearn expects ground truth) is pinned against the EXECUTED
+    reference: our precision equals its 'recall' and vice versa."""
+    from timed_design_tpu.analyse import calculate_metrics
+
+    rng = np.random.default_rng(8)
+    from timed_design_tpu.constants import AA1
+
+    real = {f"p{i}": "".join(rng.choice(list(AA1), 40)) for i in range(4)}
+    pred = {f"p{i}": "".join(rng.choice(list(AA1), 40)) for i in range(4)}
+    ours = calculate_metrics(pred, real)
+    theirs = ref.analyse.calculate_metrics(pred, real)
+    for k in ("accuracy_1", "accuracy_2", "accuracy_3", "accuracy_4",
+              "accuracy_5"):
+        np.testing.assert_allclose(ours[k], theirs[k], atol=1e-12, err_msg=k)
+    # the arg-swap pin: reference "precision" is computed with y_pred in the
+    # ground-truth slot, making it our recall (and vice versa)
+    np.testing.assert_allclose(ours["precision"], theirs["recall"], atol=1e-12)
+    np.testing.assert_allclose(ours["recall"], theirs["precision"], atol=1e-12)
+    np.testing.assert_allclose(
+        [ours["bias"][a] for a in AA1],
+        [theirs["bias"].get(a, 0.0) for a in AA1],
+        atol=1e-12,
+    )
+
+
+def test_rotamer_metrics_match_reference_results_file(ref, tmp_path):
+    """Run the reference's calculate_rotamer_metrics (sklearn ROC-AUC,
+    top-k, float16-residual renormalization, analyse_utils.py:731-898) on
+    synthetic rotamer data and diff every number in its results file
+    against our native implementation's metric dict."""
+    import re
+
+    from timed_design_tpu.analyse import calculate_rotamer_metrics
+    from timed_design_tpu.constants import ROTAMER_CATEGORIES
+
+    rng = np.random.default_rng(9)
+    classes = rng.choice(338, size=12, replace=False)
+    n = 160
+    y_true = rng.choice(classes, size=n)
+    P = rng.random((n, 338))
+    # informative but imperfect: a decoy class often outranks the truth, so
+    # accuracies differ across k and the comparison has teeth
+    P[np.arange(n), y_true] += 1.5
+    P[np.arange(n), rng.choice(classes, size=n)] += 1.8
+    P /= P.sum(1, keepdims=True)
+    P16 = P.astype(np.float16).astype(np.float64)  # the saved-CSV dtype
+
+    half = n // 2
+    pdb_to_prob = {"1aaaA": P16[:half].tolist(), "2bbbA": P16[half:].tolist()}
+    pdb_to_rot = {"1aaaA": y_true[:half].astype(float).tolist(),
+                  "2bbbA": y_true[half:].astype(float).tolist()}
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    ref.analyse.calculate_rotamer_metrics(
+        {k: [list(r) for r in v] for k, v in pdb_to_prob.items()},
+        pdb_to_rot, list(ROTAMER_CATEGORIES), suffix="t", output_path=ref_dir,
+    )
+    text = (ref_dir / "results_t.txt").read_text()
+
+    def ref_num(label):
+        m = re.search(rf"{label}: ([-0-9.e]+)", text)
+        assert m, label
+        return float(m.group(1))
+
+    ours_dir = tmp_path / "ours"
+    ours_dir.mkdir()
+    ours = calculate_rotamer_metrics(
+        {k: np.array(v) for k, v in pdb_to_prob.items()},
+        {k: np.array(v) for k, v in pdb_to_rot.items()},
+        suffix="t", output_path=ours_dir,
+    )
+    np.testing.assert_allclose(ours["auc_ovo"], ref_num("Metrics AUC_OVO"),
+                               atol=1e-9)
+    np.testing.assert_allclose(ours["accuracy"], ref_num("Accuracy"),
+                               atol=1e-9)
+    for k in (2, 3, 4, 5):
+        np.testing.assert_allclose(
+            ours[f"accuracy_{k}"], ref_num(f"accuracy_{k}"), atol=1e-9
+        )
+    np.testing.assert_allclose(
+        ours["precision"], ref_num("Metrics Macro-Precision"), atol=1e-9
+    )

@@ -27,9 +27,18 @@ def accuracy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
 
 
 def top_k_accuracy(y_true: np.ndarray, scores: np.ndarray, k: int) -> float:
-    """Fraction of rows whose true label is among the k highest scores."""
+    """Fraction of rows whose true label is among the k highest scores.
+
+    Tie-breaking replicates sklearn's ``top_k_accuracy_score`` exactly
+    (the reference's metric, analyse_utils.py:665-676): a stable ASCENDING
+    argsort reversed — so equal scores rank HIGHER-index classes first.
+    This only matters for tied scores (the one-hot compat path and
+    float16-quantized probability rows), but there it changes the number:
+    the round-3 reference-oracle run caught the opposite (low-index-first)
+    tie-break diverging from the executed reference."""
     y_true = np.asarray(y_true)
-    topk = np.argsort(-np.asarray(scores), axis=1, kind="stable")[:, :k]
+    order = np.argsort(np.asarray(scores), axis=1, kind="stable")[:, ::-1]
+    topk = order[:, :k]
     return float((topk == y_true[:, None]).any(axis=1).mean())
 
 
@@ -195,8 +204,10 @@ def calculate_metrics(
     Without ``pdb_to_probability``, accuracy_2..5 are computed from one-hot
     argmax predictions exactly as the reference does (analyse_utils.py:
     665-676 feeds sequence one-hots to top_k_accuracy_score) — there the
-    "top-k" ranking beyond rank 1 is a stable-argsort tie-break over 19
-    zero scores, i.e. biased toward alphabetically-early residues. Pass the
+    "top-k" ranking beyond rank 1 is sklearn's tie-break over 19 zero
+    scores (stable ascending argsort reversed: HIGHEST class index first,
+    i.e. biased toward alphabetically-late residues — pinned against the
+    executed reference in tests/test_reference_oracle.py). Pass the
     decoded (R, 20) probability rows to get TRUE top-k accuracy instead.
     """
     y_true, y_pred = sequences_to_labels(pdb_to_sequence, pdb_to_real_sequence)
