@@ -486,3 +486,68 @@ def test_rotamer_metrics_match_reference_results_file(ref, tmp_path):
     np.testing.assert_allclose(
         ours["precision"], ref_num("Metrics Macro-Precision"), atol=1e-9
     )
+
+
+# ------------------------------------------------------------- dataset layer
+@pytest.fixture(scope="module")
+def ubq_tree_h5(tmp_path_factory):
+    """Tree-layout (aposteriori-schema) 1ubq dataset from OUR voxelizer —
+    both implementations then read the same file, so this oracles the h5
+    traversal/IO conventions, not the voxel values."""
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    src = Path(__file__).parent / "testing_files" / "1ubq.pdb1.gz"
+    out = tmp_path_factory.mktemp("oracle_h5") / "data.hdf5"
+    return make_frame_dataset([src], out, codec="CNOCBCA")
+
+
+def test_flat_dataset_map_matches_reference(ref, ubq_tree_h5, monkeypatch):
+    """Row-for-row identical flattening order (utils.py:318-407): the map
+    order defines which probability row belongs to which residue, so any
+    divergence silently scrambles every downstream CSV/fasta."""
+    # numpy>=1.24 removed np.int (reference uses dtype=np.int, utils.py:369)
+    monkeypatch.setattr(np, "int", int, raising=False)
+    from timed_design_tpu.io import create_flat_dataset_map
+
+    ref_map, ref_pdbs = ref.utils.create_flat_dataset_map(ubq_tree_h5)
+    dmap, pdbs = create_flat_dataset_map(ubq_tree_h5)
+    assert [tuple(e) for e in dmap.entries] == [tuple(r) for r in ref_map]
+    assert pdbs == ref_pdbs
+    # blacklist semantics: error by default, warn+skip when silent
+    with pytest.raises(ValueError):
+        ref.utils.create_flat_dataset_map(ubq_tree_h5, filter_list=["1ubq"])
+    with pytest.raises(ValueError):
+        create_flat_dataset_map(ubq_tree_h5, filter_list=["1ubq"])
+
+
+def test_load_batch_matches_reference(ref, ubq_tree_h5, monkeypatch):
+    """Reference load_batch (utils.py:487-530) vs our FrameBatchLoader on
+    the same file: identical frames AND identical one-hot labels (ours are
+    rebuilt from the label column; the reference reads the stored
+    'encoded_residue' attr — agreement pins the residue-encoding order)."""
+    monkeypatch.setattr(np, "int", int, raising=False)
+    from timed_design_tpu.io import FrameBatchLoader, create_flat_dataset_map
+
+    ref_map, _ = ref.utils.create_flat_dataset_map(ubq_tree_h5)
+    X_ref, y_ref = ref.utils.load_batch(ubq_tree_h5, ref_map[:32])
+
+    dmap, _ = create_flat_dataset_map(ubq_tree_h5)
+    X, y, n = next(iter(FrameBatchLoader(ubq_tree_h5, dmap, batch_size=32)))
+    assert n == 32
+    np.testing.assert_array_equal(np.asarray(X, dtype=np.float64), X_ref)
+    np.testing.assert_array_equal(np.asarray(y, dtype=np.float64), y_ref)
+
+
+def test_pdb_keys_filter_matches_reference(ref, tmp_path):
+    """Blacklist collection (utils.py:284-315): recursive glob, chain
+    suffix stripped to the 4-letter code."""
+    from timed_design_tpu.io import get_pdb_keys_to_filter
+
+    d = tmp_path / "keys"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_text("1ubqA\n2xyzB\n")
+    (d / "sub" / "b.txt").write_text("3abcC\n6xy9D\n")
+    ours = get_pdb_keys_to_filter(d)
+    theirs = ref.utils.get_pdb_keys_to_filter(d)
+    assert sorted(ours) == sorted(theirs)
+    assert sorted(ours) == ["1ubq", "2xyz", "3abc", "6xy9"]
