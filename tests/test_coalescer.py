@@ -119,3 +119,29 @@ def test_close_is_idempotent_and_pending_window(session, ubq_structure):
     # (exited) worker will never resolve
     with pytest.raises(RuntimeError, match="closed"):
         designer.design(ubq_structure)
+
+
+def test_design_close_race_cannot_strand_a_future(session, ubq_structure):
+    """Hammer design() from one thread while close() fires: every design
+    call must either return a result or raise the closed error — never
+    hang on a future enqueued behind the close sentinel (the race the
+    _close_lock exists for)."""
+    from timed_design_tpu.engine.coalescer import CoalescingDesigner
+
+    for _ in range(5):
+        designer = CoalescingDesigner(session)
+        outcomes = []
+
+        def caller():
+            try:
+                outcomes.append(designer.design(ubq_structure)[0].shape)
+            except RuntimeError as e:
+                outcomes.append(str(e))
+
+        t = threading.Thread(target=caller)
+        t.start()
+        designer.close()
+        # the whole point: the caller thread must terminate either way
+        t.join(timeout=30)
+        assert not t.is_alive(), "design() hung across close()"
+        assert len(outcomes) == 1

@@ -62,6 +62,10 @@ class CoalescingDesigner:
         )
         self.window_s = window_ms / 1e3
         self._queue: queue.Queue = queue.Queue()
+        # serializes the closed-check+enqueue against close(): without it a
+        # design() that passed the check could enqueue AFTER the _CLOSE
+        # sentinel and hang forever on a future no worker will resolve
+        self._close_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.stats = {
             "requests": 0,
@@ -84,17 +88,21 @@ class CoalescingDesigner:
         group this request rode in, and the group's size (so callers can
         see the coalescing that actually happened).
         """
-        if self._closed:
-            # after close() the worker is gone; enqueueing would hang the
-            # caller forever on a future nothing will ever resolve
-            raise RuntimeError("CoalescingDesigner is closed")
         fut: Future = Future()
-        self._queue.put((structure, fut, time.perf_counter()))
+        with self._close_lock:
+            if self._closed:
+                # after close() the worker is gone; enqueueing would hang
+                # the caller forever on a future nothing will ever resolve
+                raise RuntimeError("CoalescingDesigner is closed")
+            self._queue.put((structure, fut, time.perf_counter()))
         return fut.result()
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(_CLOSE)
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(_CLOSE)
         self._thread.join(timeout=10)
 
     # -------------------------------------------------- worker
