@@ -551,3 +551,33 @@ def test_pdb_keys_filter_matches_reference(ref, tmp_path):
     theirs = ref.utils.get_pdb_keys_to_filter(d)
     assert sorted(ours) == sorted(theirs)
     assert sorted(ours) == ["1ubq", "2xyz", "3abc", "6xy9"]
+
+
+# ------------------------------------------------------------- scwrl
+def test_scwrl_score_parse_matches_reference(ref):
+    """Score extraction from SCWRL4 stdout: the reference's regex
+    (scwrl_utils.py:31-33) vs our line parser, on realistic and edge-case
+    outputs (negative, integer, multi-line chatter). The real binary is
+    unlicensed/absent, so the executed reference parser is the closest
+    available oracle for this seam."""
+    import importlib
+
+    ref_scwrl = importlib.import_module("design_utils.scwrl_utils")
+    from timed_design_tpu.analyse.scwrl import parse_scwrl_score
+
+    outputs = [
+        "stuff\nTotal minimal energy of the graph = -251.883\nmore\n",
+        "Total minimal energy of the graph = 0.000\n",
+        "A\nB\nTotal minimal energy of the graph = 1234\n",
+    ]
+    for out in outputs:
+        theirs = float(
+            __import__("re").findall(
+                r"Total minimal energy of the graph = ([-0-9.]+)", out
+            )[0]
+        )
+        # execute the reference's own parse path end-to-end too: its
+        # parse_scwrl_out also fixes the PDB, so give it a minimal one
+        fixed, score = ref_scwrl.parse_scwrl_out(out, "header\r\nATOM      1\n")
+        assert score == theirs
+        assert parse_scwrl_score(out) == theirs
