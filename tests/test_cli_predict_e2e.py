@@ -62,9 +62,11 @@ def test_predict_cli_rotamer_output_analysis(tmp_path, ubq_pdb_gz):
         "--predict_rotamers", "--allow-random-weights",
         "--path_to_output", str(tmp_path),
         "--path_to_datasetmap", str(tmp_path / "datasetmap.txt"),
-        "--batch_size", "128", "--output_analysis",
+        "--batch_size", "128", "--output_analysis", "--report",
     ])
     pngs = sorted(p.name for p in tmp_path.glob("*.png"))
     assert any("heatmap" in n for n in pngs), pngs
     assert any("logo" in n for n in pngs), pngs
     assert any("mean_var" in n for n in pngs), pngs
+    report = tmp_path / "TIMED_rotamer_not_so_deep_report.html"
+    assert report.exists() and "338-rotamer head" in report.read_text()

@@ -1,0 +1,66 @@
+"""Static HTML design report (report.py): the UI's output section as one
+self-contained artifact."""
+import base64
+
+import numpy as np
+
+from timed_design_tpu.report import write_design_report
+
+
+def _result(n=12, classes=20, seed=0):
+    rng = np.random.default_rng(seed)
+    P = rng.random((n, classes))
+    P /= P.sum(1, keepdims=True)
+    from timed_design_tpu.constants import AA1
+
+    aa = np.array(list(AA1))
+    designed = "".join(aa[np.asarray(P[:, :20]).argmax(1) % 20])
+    native = "".join(rng.choice(list(AA1), n))
+    return designed, native, P
+
+
+def test_report_contains_all_sections(tmp_path):
+    designed, native, P = _result()
+    out = write_design_report(
+        {"1abcA": designed}, {"1abcA": native}, {"1abcA": P},
+        tmp_path, model_name="TIMED",
+    )
+    assert out.name == "TIMED_report.html"
+    text = out.read_text()
+    # self-contained: every image is inline base64, no external refs
+    assert text.count("data:image/png;base64,") == 3  # heatmap+entropy+logo
+    assert "src=\"http" not in text and "href=\"http" not in text
+    assert designed in text.replace('<span class="diff">', "").replace(
+        "</span>", ""
+    )
+    assert native in text
+    assert "Isoelectric point" in text and "Molecular weight" in text
+    assert "Per-position top-3" in text
+    assert "identity" in text and "similarity" in text
+    # the inline PNGs decode
+    for chunk in text.split("data:image/png;base64,")[1:]:
+        png = base64.b64decode(chunk.split('"')[0])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_report_rotamer_and_consensus(tmp_path):
+    designed, native, P338 = _result(n=9, classes=338, seed=1)
+    designed = designed[:9]
+    out = write_design_report(
+        {"2xyzA": designed[:9]}, {"2xyzA": native}, {"2xyzA": P338},
+        tmp_path, model_name="TIMED_rotamer",
+        pdb_to_consensus={"2xyzA": native},
+    )
+    text = out.read_text()
+    assert "338-rotamer head" in text
+    assert "NMR consensus sequence" in text
+
+
+def test_report_missing_native_degrades(tmp_path):
+    designed, _, P = _result(n=6, seed=2)
+    out = write_design_report(
+        {"3qqqA": designed[:6]}, {}, {"3qqqA": P}, tmp_path,
+    )
+    text = out.read_text()
+    assert "model_report.html" == out.name
+    assert "nan%" in text  # identity/similarity degrade, render still lands

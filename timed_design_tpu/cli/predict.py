@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_analysis", action="store_true",
                    help="Emit probability heatmaps, mean/var plots and "
                         "sequence logos per structure")
+    p.add_argument("--report", action="store_true",
+                   help="Write a self-contained {model}_report.html per "
+                        "model (sequences, metrics, heatmap, entropy, logo "
+                        "— the UI's output section as one static artifact)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="Conv compute dtype; bfloat16 runs ~1.7x faster on "
@@ -120,6 +124,21 @@ def main(argv=None) -> None:
     for phase, secs in result.timings.items():
         print(f"  {phase}: {secs:.2f}s")
 
+    if args.report:
+        from ..report import write_design_report
+
+        # the result bundle holds the LAST model's maps (engine loop) — name
+        # the report after it ("TIMED" from models/TIMED.h5 or TIMED@ckpt)
+        name = Path(str(args.path_to_model[-1])).stem.split("@")[0]
+        path = write_design_report(
+            result.pdb_to_sequence,
+            result.pdb_to_real_sequence,
+            result.pdb_to_probability,
+            out,
+            model_name=name,
+            pdb_to_consensus=result.pdb_to_consensus,
+        )
+        print(f"Design report written to {path}")
     if args.output_analysis:
         # Per-structure graphs (reference predict.py:283-286 --output_analysis)
         from ..analyse import (
@@ -144,6 +163,9 @@ def main(argv=None) -> None:
             plot_mean_var_probs(probs, f"{pdb}", out)
             fig = create_sequence_logo(probs)
             fig.savefig(out / f"{pdb}_logo.png")
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)  # a benchmark set leaks one live figure per chain
         print(f"Analysis graphs written to {out}")
 
 
