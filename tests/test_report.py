@@ -64,3 +64,26 @@ def test_report_missing_native_degrades(tmp_path):
     text = out.read_text()
     assert "model_report.html" == out.name
     assert "nan%" in text  # identity/similarity degrade, render still lands
+
+
+def test_report_cli_from_saved_artifacts(tmp_path):
+    """td-report: rebuild the report from a saved {model}.csv + SRB
+    datasetmap pair, no model/device needed."""
+    from timed_design_tpu.cli.report import main
+    from timed_design_tpu.io import save_prediction_csv, save_srb_datasetmap
+    from timed_design_tpu.io.datasetmap import DatasetMap
+
+    designed, native, P = _result(n=10, seed=4)
+    save_prediction_csv(P, "TIMED", tmp_path, float16=True)
+    dmap = DatasetMap(
+        entries=[("1abc", "A", str(i + 1), "ALA") for i in range(10)]
+    )
+    save_srb_datasetmap(dmap, "TIMED", tmp_path)
+    main([
+        "--path_to_pred_matrix", str(tmp_path / "TIMED.csv"),
+        "--path_to_datasetmap", str(tmp_path / "TIMED.txt"),
+        "--path_to_output", str(tmp_path),
+    ])
+    text = (tmp_path / "TIMED_report.html").read_text()
+    assert text.count("data:image/png;base64,") == 3
+    assert "1abcA" in text
