@@ -224,3 +224,26 @@ def test_load_concurrent_requests_coalesce(server_url, ubq_pdb_gz):
     # full slow-suite run); the real throughput effect is measured on TPU
     # (BASELINE.md: 3.35x device speedup, 52 -> 175 req/s/chip).
     assert dt_conc < dt_serial * 1.35, (dt_conc, dt_serial)
+
+
+def test_report_endpoint_returns_html(server_url, ubq_pdb_gz):
+    """POST /report: raw PDB in, self-contained HTML report out (text/html,
+    inline images, designed + native sequences present)."""
+    pdb = gzip.decompress(Path(ubq_pdb_gz).read_bytes())
+    req = urllib.request.Request(
+        server_url + "/report", data=pdb, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        text = r.read().decode()
+    assert text.count("data:image/png;base64,") == 3
+    assert "queryA" in text and "TIMED design report" in text
+    # model selection works on /report too
+    body = json.dumps({"pdb": pdb.decode(), "model": "ROT"}).encode()
+    req = urllib.request.Request(
+        server_url + "/report", data=body, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        text = r.read().decode()
+    assert "ROT design report" in text and "338-rotamer head" in text

@@ -16,6 +16,8 @@ API (JSON):
                           fresh draws per request). Returns designed
                           sequence, per-residue probabilities, residue ids,
                           timings, the seed used, and optional MC samples.
+  POST /report            same body; returns the self-contained HTML design
+                          report (report.py) instead of JSON.
 
 Threading: concurrent requests are COALESCED into shared device batches
 (engine/coalescer.py): a worker thread packs whatever requests are queued
@@ -112,6 +114,31 @@ def _design_payload(designer, pdb_text: str, n_samples: int = 0,
     return out
 
 
+def _report_document(designer, pdb_text: str, model_name: str) -> str:
+    """POST /report: design + render the static HTML report for one backbone.
+
+    The native sequence comes from the uploaded structure's own residues —
+    the same comparison the UI's output section draws (ui.py:328-531)."""
+    from ..constants import AA1, AA3_TO_AA1
+    from ..report import render_design_report
+    from ..structure import parse_pdb_string
+
+    import numpy as np
+
+    structure = parse_pdb_string(pdb_text, name="query")[0]
+    probs, fa, _ = designer.design(structure)
+    probs = np.asarray(probs)
+    key = f"query{fa.chain_ids[0] if fa.chain_ids else ''}"
+    native = "".join(AA3_TO_AA1.get(l, "X") for l in fa.labels)
+    from ..constants import compress_rotamer_probs
+
+    probs20 = compress_rotamer_probs(probs) if probs.shape[1] == 338 else probs
+    designed = "".join(np.array(list(AA1))[np.asarray(probs20).argmax(1)])
+    return render_design_report(
+        {key: designed}, {key: native}, {key: probs}, model_name=model_name
+    )
+
+
 def make_server(designer, host: str, port: int, model_name: str,
                 extra_designers: dict | None = None):
     """``designer``/``model_name``: the default model. ``extra_designers``:
@@ -146,8 +173,16 @@ def make_server(designer, host: str, port: int, model_name: str,
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
+        def _send_html(self, doc: str):
+            body = doc.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
-            if self.path != "/design":
+            if self.path not in ("/design", "/report"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -198,6 +233,9 @@ def make_server(designer, host: str, port: int, model_name: str,
                 # device programs; MC sampling below runs on this request
                 # thread (device dispatch is thread-safe) so the worker
                 # keeps coalescing predictions meanwhile
+                if self.path == "/report":
+                    self._send_html(_report_document(d, pdb_text, req_model))
+                    return
                 payload = _design_payload(
                     d, pdb_text, n_samples, temperature, seed
                 )

@@ -165,16 +165,14 @@ def _topk_table(probs20: np.ndarray, native_seq: str, k: int = 3) -> str:
     )
 
 
-def write_design_report(
+def render_design_report(
     pdb_to_sequence: dict[str, str],
     pdb_to_real_sequence: dict[str, str],
     pdb_to_probability: dict[str, np.ndarray],
-    output_path: Path,
     model_name: str = "model",
     pdb_to_consensus: dict[str, str] | None = None,
-    filename: str | None = None,
-) -> Path:
-    """Render one self-contained HTML report for a prediction result.
+) -> str:
+    """Render the self-contained HTML report document as a string.
 
     ``pdb_to_probability`` rows may be 20-class or 338-class (rotamer) —
     rotamer matrices are collapsed to 20 classes for the heatmap/top-k
@@ -225,7 +223,7 @@ def write_design_report(
             )
         sections.append("\n".join(parts))
 
-    doc = (
+    return (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
         f"<title>{html.escape(model_name)} design report</title>"
         f"<style>{_CSS}</style></head><body>"
@@ -233,6 +231,22 @@ def write_design_report(
         f"<p class='meta'>{len(pdb_to_sequence)} chain(s)</p>"
         + "\n".join(sections)
         + "</body></html>"
+    )
+
+
+def write_design_report(
+    pdb_to_sequence: dict[str, str],
+    pdb_to_real_sequence: dict[str, str],
+    pdb_to_probability: dict[str, np.ndarray],
+    output_path: Path,
+    model_name: str = "model",
+    pdb_to_consensus: dict[str, str] | None = None,
+    filename: str | None = None,
+) -> Path:
+    """Render and write one report file; returns its path."""
+    doc = render_design_report(
+        pdb_to_sequence, pdb_to_real_sequence, pdb_to_probability,
+        model_name=model_name, pdb_to_consensus=pdb_to_consensus,
     )
     output_path = Path(output_path)
     output_path.mkdir(parents=True, exist_ok=True)
