@@ -581,3 +581,76 @@ def test_scwrl_score_parse_matches_reference(ref):
         fixed, score = ref_scwrl.parse_scwrl_out(out, "header\r\nATOM      1\n")
         assert score == theirs
         assert parse_scwrl_score(out) == theirs
+
+
+# ------------------------------------------------------------- MC sampler
+def test_inverse_cdf_sampling_matches_reference(ref):
+    """Our XLA inverse-CDF expression vs the reference's numpy
+    ``(cumsum(p) > u).argmax()`` (sampling_utils.py:81-82) on the SAME
+    uniforms — including the adversarial rows: unnormalized float16
+    residue distributions and a uniform beyond the total mass (where both
+    must select class 0, the round-2 Pallas range-clamp semantics)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    P = rng.random((40, 20))
+    P /= P.sum(1, keepdims=True)
+    # float16 round-trip (the reference's saved CSVs are float16): rows no
+    # longer sum to exactly 1
+    P = P.astype(np.float16).astype(np.float64)
+    P[7] *= 0.3  # heavily unnormalized: u > sum(P[7]) is likely
+    P[13, :10] = 0.0  # leading zero-probability classes
+    P[13] /= P[13].sum()
+
+    for seed in (0, 1, 2, 3):
+        np.random.seed(seed)
+        theirs = ref.sampling.random_choice_prob_index(P, return_seq=False)
+        np.random.seed(seed)
+        u = np.expand_dims(np.random.rand(P.shape[0]), axis=1)
+        ours = np.asarray(jnp.argmax(jnp.cumsum(jnp.asarray(P), -1) > u, -1))
+        np.testing.assert_array_equal(ours, theirs, err_msg=f"seed={seed}")
+    # confirm the u-beyond-total-mass case really occurred across the seeds
+    # (all-False cumsum>u argmax -> class 0 on both sides)
+    hit_clamp = False
+    for seed in (0, 1, 2, 3):
+        np.random.seed(seed)
+        u_chk = np.random.rand(P.shape[0])
+        hit_clamp = hit_clamp or (u_chk > P.sum(1)).any()
+    assert hit_clamp, "adversarial rows never exceeded total mass; weaken P[7]"
+    # return_seq=True path: residue letters via the standard table
+    np.random.seed(5)
+    seq_theirs = ref.sampling.random_choice_prob_index(P, return_seq=True)
+    from timed_design_tpu.constants import AA1
+
+    np.random.seed(5)
+    u = np.expand_dims(np.random.rand(P.shape[0]), axis=1)
+    idx = np.asarray(jnp.argmax(jnp.cumsum(jnp.asarray(P), -1) > u, -1))
+    np.testing.assert_array_equal(np.array(list(AA1))[idx], seq_theirs)
+
+
+def test_sample_writers_byte_match_reference(ref, tmp_path, capsys):
+    """save_sampled vs the reference's save_as (sampling_utils.py:12-50):
+    fasta, json and metrics-CSV must byte-match in every mode."""
+    from timed_design_tpu.io import save_sampled
+
+    pdb_to_sampled = {
+        "1abcA": [
+            ("ACDEF", 1.25, 7.0999999, 512.3, 1490),
+            ("GHIKL", -2.0, 4.5, 600.25, 0),
+        ],
+        "2xyzB": [("MNPQR", 0.0, 11.75, 700.125, 5500)],
+    }
+    for mode in ("all", "fasta", "json"):
+        ref_dir = tmp_path / f"ref_{mode}"
+        our_dir = tmp_path / f"our_{mode}"
+        ref_dir.mkdir()
+        our_dir.mkdir()
+        ref_paths = ref.sampling.save_as(
+            pdb_to_sampled, str(ref_dir / "s"), mode
+        )
+        our_paths = save_sampled(pdb_to_sampled, str(our_dir / "s"), mode)
+        assert [Path(p).name for p in ref_paths] == [
+            Path(p).name for p in our_paths
+        ]
+        for rp, op in zip(ref_paths, our_paths):
+            assert Path(op).read_bytes() == Path(rp).read_bytes(), (mode, rp)

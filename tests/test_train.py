@@ -302,3 +302,199 @@ def test_fit_handles_batch_indivisible_by_mesh():
 
     state = fit(module, [(X, y, 38)] * 3, n_classes=20, log_every=10)
     assert int(state.step) == 3
+
+
+def test_split_dataset_map_structure_level():
+    from timed_design_tpu.io import DatasetMap
+    from timed_design_tpu.io.datasetmap import split_dataset_map
+
+    entries = []
+    for pdb in ("1abc", "2def", "3ghi", "4jkl", "5mno"):
+        for rid in range(4):
+            entries.append((pdb, "A", str(rid), "ALA"))
+    # NMR states of one deposition must travel together
+    entries += [("6nmr_0", "A", "1", "GLY"), ("6nmr_01", "A", "1", "GLY")]
+    dmap = DatasetMap(entries=entries)
+    train_map, val_map = split_dataset_map(dmap, 0.34, seed=3)
+    train_pdbs = {e[0].split("_0")[0] for e in train_map.entries}
+    val_pdbs = {e[0].split("_0")[0] for e in val_map.entries}
+    assert train_pdbs.isdisjoint(val_pdbs)
+    assert len(val_pdbs) == 2  # round(6 * 0.34)
+    assert len(train_map.entries) + len(val_map.entries) == len(entries)
+    # NMR states never straddle the split
+    in_train = sum(e[0].startswith("6nmr") for e in train_map.entries)
+    in_val = sum(e[0].startswith("6nmr") for e in val_map.entries)
+    assert (in_train, in_val) in ((2, 0), (0, 2))
+    # identity tag dropped: subsets are not row-identical to the flat file
+    assert train_map.row_identity_for is None
+    # val_fraction=0 passes through untouched
+    same, empty = split_dataset_map(dmap, 0.0)
+    assert same is dmap and empty.entries == []
+    with pytest.raises(ValueError):
+        split_dataset_map(dmap, 0.99)  # would empty the training side
+    with pytest.raises(ValueError):
+        split_dataset_map(dmap, 1.0)
+
+
+def test_evaluate_masks_padding():
+    from timed_design_tpu.train import evaluate
+
+    module = timed(filters=(4,))
+    rng = np.random.default_rng(0)
+    variables = module.init(jax.random.key(0), jnp.zeros((1, 21, 21, 21, 5)))
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    X = rng.random((8, 21, 21, 21, 5)).astype(np.float32)
+    lab = rng.integers(0, 20, size=8)
+    y = np.eye(20, dtype=np.float32)[lab]
+    # one full batch of 5 valid rows + 3 rows of GARBAGE padding: if the
+    # mask leaks, the garbage rows move every metric
+    Xp = X.copy()
+    Xp[5:] = 99.0
+    yp = y.copy()
+    yp[5:] = 0.0
+    got = evaluate(module, [(Xp, yp, 5)], params, batch_stats)
+    assert got["n"] == 5
+    # manual reference on the 5 valid rows only
+    logits = np.asarray(
+        module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(X[:5]), train=False, logits=True,
+        )
+    )
+    z = logits - logits.max(-1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(-1, keepdims=True))
+    want_loss = float(-(logp[np.arange(5), lab[:5]]).mean())
+    want_top1 = float((logits.argmax(-1) == lab[:5]).mean())
+    assert abs(got["loss"] - want_loss) < 1e-4
+    assert abs(got["top1"] - want_top1) < 1e-6
+    assert 0.0 <= got["top3"] <= 1.0
+
+
+def test_fit_early_stopping_restores_best(monkeypatch):
+    """Scripted val losses [1.0, 2.0, 2.0]: epoch 0 is best, patience=2
+    stops after epoch 2, and the RETURNED state carries epoch 0's weights
+    (restore_best_weights semantics), not epoch 2's."""
+    import timed_design_tpu.train.train as train_mod
+    from timed_design_tpu.train import fit
+
+    scripted = [1.0, 2.0, 2.0, 0.1, 0.1]
+    seen_params = []
+
+    def fake_evaluate(module, loader, params, batch_stats, mesh=None):
+        seen_params.append(jax.tree.map(np.asarray, params))
+        return {"loss": scripted[len(seen_params) - 1], "top1": 0.0,
+                "top3": 0.0, "n": 8}
+
+    monkeypatch.setattr(train_mod, "evaluate", fake_evaluate)
+    module = timed(filters=(4,))
+    batches = _toy_batches(n_batches=2, batch=8)
+    state = fit(
+        module,
+        batches,
+        n_classes=20,
+        learning_rate=3e-3,
+        epochs=10,
+        val_loader=batches[:1],
+        patience=2,
+        min_delta=1e-6,
+    )
+    assert len(seen_params) == 3  # stopped after the 3rd epoch's eval
+    assert int(state.step) == 6  # 3 epochs x 2 batches, not 20
+    # weights really moved between epochs, and the best (epoch 0) came back
+    flat_ret = jax.tree_util.tree_leaves(jax.tree.map(np.asarray, state.params))
+    flat_e0 = jax.tree_util.tree_leaves(seen_params[0])
+    flat_e2 = jax.tree_util.tree_leaves(seen_params[2])
+    assert any(not np.array_equal(a, b) for a, b in zip(flat_e0, flat_e2))
+    for a, b in zip(flat_ret, flat_e0):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError):
+        fit(module, batches, n_classes=20, epochs=1, patience=1)
+
+
+def test_make_lr_schedule():
+    from timed_design_tpu.train import make_lr_schedule
+
+    assert make_lr_schedule("constant", 1e-3, 100) == 1e-3
+    warm = make_lr_schedule("constant", 1e-3, 100, warmup_steps=10)
+    assert float(warm(0)) == 0.0
+    assert abs(float(warm(10)) - 1e-3) < 1e-9
+    assert abs(float(warm(99)) - 1e-3) < 1e-9
+    cos = make_lr_schedule("cosine", 1e-3, 100)
+    assert abs(float(cos(0)) - 1e-3) < 1e-9
+    assert float(cos(100)) < 1e-5
+    wc = make_lr_schedule("cosine", 1e-3, 100, warmup_steps=10)
+    assert float(wc(0)) == 0.0
+    assert abs(float(wc(10)) - 1e-3) < 1e-7
+    assert float(wc(100)) < float(wc(50)) < float(wc(10))
+    with pytest.raises(ValueError):
+        make_lr_schedule("cyclic", 1e-3, 100)
+    with pytest.raises(ValueError, match="warmup_steps"):
+        make_lr_schedule("cosine", 1e-3, 10, warmup_steps=10)
+
+
+def test_subset_map_loader_roundtrip(tmp_path, ubq_pdb_gz):
+    """A split_dataset_map subset is no longer row-identical to the flat
+    file, so FrameBatchLoader must resolve rows through the keyed lookup —
+    frames/labels from the subset loader must equal the matching rows of
+    the full loader."""
+    import shutil
+
+    from timed_design_tpu.io import FrameBatchLoader, create_flat_dataset_map
+    from timed_design_tpu.io.datasetmap import split_dataset_map
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    second = tmp_path / "2ubq.pdb.gz"
+    shutil.copy(ubq_pdb_gz, second)
+    h5 = make_frame_dataset(
+        [ubq_pdb_gz, second], tmp_path / "two.hdf5", codec="CNOCACB",
+        layout="flat",
+    )
+    dmap, _ = create_flat_dataset_map(h5)
+    train_map, val_map = split_dataset_map(dmap, 0.5, seed=0)
+    assert train_map.entries and val_map.entries
+    X_full, y_full, n_full = next(
+        iter(FrameBatchLoader(h5, dmap, batch_size=dmap.n_residues))
+    )
+    key_to_row = {e[:3]: i for i, e in enumerate(dmap.entries)}
+    for sub in (train_map, val_map):
+        Xs, ys, ns = next(
+            iter(FrameBatchLoader(h5, sub, batch_size=len(sub.entries)))
+        )
+        assert ns == len(sub.entries)
+        rows = [key_to_row[e[:3]] for e in sub.entries]
+        np.testing.assert_array_equal(Xs[:ns], X_full[rows])
+        np.testing.assert_array_equal(ys[:ns], y_full[rows])
+
+
+@pytest.mark.slow
+def test_train_cli_validation_e2e(tmp_path, ubq_pdb_gz, capsys, monkeypatch):
+    """td-train --val_fraction/--patience/--lr_schedule end-to-end: split is
+    announced, per-epoch val metrics print, and the checkpoint lands."""
+    import shutil
+
+    from timed_design_tpu.cli.train import main as train_main
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    second = tmp_path / "2ubq.pdb.gz"
+    shutil.copy(ubq_pdb_gz, second)
+    h5 = make_frame_dataset(
+        [ubq_pdb_gz, second], tmp_path / "two.hdf5", codec="CNOCACB",
+        layout="flat",
+    )
+    out = tmp_path / "ck.npz"
+    train_main([
+        "--path_to_dataset", str(h5), "--model", "TIMED",
+        "--batch_size", "76", "--epochs", "2", "--val_fraction", "0.5",
+        "--patience", "5", "--lr_schedule", "cosine", "--warmup_steps", "1",
+        "--bn_momentum", "0.9", "--output", str(out),
+    ])
+    text = capsys.readouterr().out
+    assert "validation split: 76 residues held out (76 train)" in text
+    assert "val_loss=" in text and "val_top3=" in text
+    assert out.exists()
+    # --patience without a val split refuses up front
+    with pytest.raises(SystemExit):
+        train_main([
+            "--path_to_dataset", str(h5), "--patience", "1",
+            "--output", str(tmp_path / "x.npz"),
+        ])

@@ -4,6 +4,7 @@ from .datasetmap import (  # noqa: F401
     load_datasetmap,
     save_datasetmap,
     save_srb_datasetmap,
+    split_dataset_map,
 )
 from .decode import DecodedPredictions, extract_sequences  # noqa: F401
 from .h5frames import (  # noqa: F401

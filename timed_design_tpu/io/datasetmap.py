@@ -93,6 +93,53 @@ def save_datasetmap(dmap: DatasetMap, path: Path) -> Path:
     return path
 
 
+def split_dataset_map(
+    dmap: DatasetMap, val_fraction: float, seed: int = 0
+) -> tuple[DatasetMap, DatasetMap]:
+    """Structure-level train/validation split of a per-residue map.
+
+    Whole PDB structures go to one side or the other (chains of the same
+    structure share fold context, so a residue-level split would leak
+    validation information into training). NMR state suffixes (``1abc_0``)
+    collapse to the parent code so all states of one deposition stay
+    together. The reference has no training code at all (SURVEY.md §2.2);
+    this follows the standard protein-ML protocol instead.
+
+    Returns ``(train_map, val_map)`` preserving the original row order
+    within each side. ``val_fraction`` of the distinct structures (rounded,
+    at least 1 when the fraction is > 0 and at least one structure exists)
+    is assigned to validation by a seeded permutation.
+    """
+    assert dmap.is_old, "per-residue datasetmap required"
+    if not 0.0 <= val_fraction < 1.0:
+        raise ValueError(f"val_fraction must be in [0, 1), got {val_fraction}")
+
+    def parent(pdb: str) -> str:
+        return pdb.split("_0")[0] if "_0" in pdb else pdb
+
+    structures = sorted({parent(p) for p, _, _, _ in dmap.entries})
+    if val_fraction == 0.0 or not structures:
+        return dmap, DatasetMap(entries=[], row_identity_for=None)
+    import numpy as _np
+
+    n_val = max(1, round(len(structures) * val_fraction))
+    if n_val >= len(structures):
+        raise ValueError(
+            f"val_fraction={val_fraction} leaves no training structures "
+            f"({n_val} of {len(structures)} would go to validation)"
+        )
+    order = _np.random.default_rng(seed).permutation(len(structures))
+    val_set = {structures[i] for i in order[:n_val]}
+    train_e = [e for e in dmap.entries if parent(e[0]) not in val_set]
+    val_e = [e for e in dmap.entries if parent(e[0]) in val_set]
+    # subsets are no longer row-identical to the flat file: loader falls
+    # back to the keyed row lookup, so drop the identity tag
+    return (
+        DatasetMap(entries=train_e, row_identity_for=None),
+        DatasetMap(entries=val_e, row_identity_for=None),
+    )
+
+
 def save_srb_datasetmap(
     dmap: DatasetMap, model_name: str, path_to_output: Path
 ) -> Path:

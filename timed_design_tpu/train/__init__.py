@@ -1,9 +1,12 @@
 """Training subsystem (capability the reference lacks; ships h5 releases only)."""
 from .train import (  # noqa: F401
     TrainState,
+    evaluate,
     fit,
     init_train_state,
     load_checkpoint_params,
+    make_eval_step,
+    make_lr_schedule,
     make_train_step,
     param_shardings,
     load_checkpoint_orbax,

@@ -98,6 +98,112 @@ def make_train_step(module, optimizer):
     return train_step
 
 
+def make_eval_step(module):
+    """Build the jittable eval step: ``(params, batch_stats, x, y, n_valid)
+    -> dict of SUMS`` (loss/top1/top3 summed over the first ``n_valid`` rows,
+    plus the row count) so the host can weight partial final batches
+    correctly. Eval mode: running BatchNorm stats, no dropout — the same
+    inference semantics the engine uses (predict.py:24-25 monitors
+    categorical accuracy and top_3_cat_acc on this path)."""
+
+    def eval_step(params, batch_stats, x, y, n_valid):
+        logits = module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=False,
+            logits=True,
+        )
+        mask = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
+        loss = optax.softmax_cross_entropy(logits, y) * mask
+        labels = y.argmax(-1)
+        top1 = (logits.argmax(-1) == labels).astype(jnp.float32) * mask
+        top3 = (
+            (jax.lax.top_k(logits, 3)[1] == labels[:, None]).any(-1)
+        ).astype(jnp.float32) * mask
+        return {
+            "loss_sum": loss.sum(),
+            "top1_sum": top1.sum(),
+            "top3_sum": top3.sum(),
+            "n": mask.sum(),
+        }
+
+    return eval_step
+
+
+def evaluate(
+    module,
+    loader: t.Iterable,
+    params,
+    batch_stats,
+    mesh: Mesh | None = None,
+) -> dict:
+    """Run eval-mode metrics over a loader of ``(X, y, n_valid)`` batches.
+
+    Returns ``{"loss", "top1", "top3", "n"}`` averaged over the valid rows
+    only (loader padding rows are masked out on device)."""
+    mesh = mesh if mesh is not None else make_mesh()
+    step_fn = jax.jit(make_eval_step(module))
+    bsh = batch_sharding(mesh)
+    n_data = mesh.shape["data"]
+    totals = {"loss_sum": 0.0, "top1_sum": 0.0, "top3_sum": 0.0, "n": 0.0}
+    for X, y, n_valid in loader:
+        # round the batch up to a data-axis multiple with zero rows — unlike
+        # fit()'s repeat-fill (which protects BN batch statistics), eval is
+        # stateless and the n_valid mask already excludes every padding row
+        keep = -(-X.shape[0] // n_data) * n_data
+        if keep != X.shape[0]:
+            X = np.concatenate(
+                [X, np.zeros((keep - X.shape[0], *X.shape[1:]), np.float32)]
+            )
+            y = np.concatenate(
+                [y, np.zeros((keep - y.shape[0], y.shape[1]), np.float32)]
+            )
+        x_dev = jax.device_put(jnp.asarray(X, jnp.float32), bsh)
+        y_dev = jax.device_put(jnp.asarray(y, jnp.float32), bsh)
+        out = step_fn(params, batch_stats, x_dev, y_dev, jnp.int32(n_valid))
+        for k in totals:
+            totals[k] += float(out[k])
+    n = max(totals["n"], 1.0)
+    return {
+        "loss": totals["loss_sum"] / n,
+        "top1": totals["top1_sum"] / n,
+        "top3": totals["top3_sum"] / n,
+        "n": int(totals["n"]),
+    }
+
+
+def make_lr_schedule(
+    name: str,
+    base_lr: float,
+    total_steps: int,
+    warmup_steps: int = 0,
+):
+    """Optax learning-rate schedule by name: ``constant`` | ``cosine``
+    (optional linear warmup to ``base_lr`` over ``warmup_steps``, then
+    cosine decay to 0 over the remaining steps)."""
+    if name == "constant":
+        if warmup_steps:
+            return optax.linear_schedule(0.0, base_lr, warmup_steps)
+        return base_lr
+    if name == "cosine":
+        if warmup_steps >= total_steps:
+            raise ValueError(
+                f"warmup_steps={warmup_steps} must be < total training "
+                f"steps ({total_steps}) for a cosine schedule — nothing "
+                f"would be left to decay over"
+            )
+        decay_steps = max(1, total_steps - warmup_steps)
+        if warmup_steps:
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=base_lr,
+                warmup_steps=warmup_steps,
+                decay_steps=total_steps,
+            )
+        return optax.cosine_decay_schedule(base_lr, decay_steps)
+    raise ValueError(f"unknown lr schedule {name!r} (constant | cosine)")
+
+
 def init_train_state(
     module,
     rng: jax.Array,
@@ -129,11 +235,36 @@ def fit(
     mesh: Mesh | None = None,
     seed: int = 0,
     log_every: int = 10,
+    val_loader: t.Iterable | None = None,
+    patience: int | None = None,
+    min_delta: float = 0.0,
+    lr_schedule: str = "constant",
+    warmup_steps: int = 0,
 ) -> TrainState:
     """Host training loop over a FrameBatchLoader-style iterable of
-    (X, y, n_valid) batches."""
+    (X, y, n_valid) batches.
+
+    With ``val_loader``, eval-mode metrics run after every epoch; with
+    ``patience`` as well, training stops after that many epochs without a
+    ``min_delta`` improvement in validation loss and the best epoch's
+    params/batch_stats are restored (Keras ``EarlyStopping(restore_best_
+    weights=True)`` semantics — the regime the released reference models
+    were trained under, monitored via top_3_cat_acc, predict.py:24-25).
+    ``lr_schedule='cosine'`` decays over ``epochs * len(loader)`` steps
+    with an optional linear ``warmup_steps``.
+    """
+    if patience is not None and val_loader is None:
+        raise ValueError("patience requires a val_loader to monitor")
     mesh = mesh if mesh is not None else make_mesh()
-    optimizer = optax.adam(learning_rate)
+    n_batches = getattr(loader, "n_batches", None)
+    if lr_schedule != "constant" and n_batches is None:
+        raise ValueError(
+            "a decaying lr_schedule needs loader.n_batches to size the decay"
+        )
+    lr = make_lr_schedule(
+        lr_schedule, learning_rate, (n_batches or 1) * epochs, warmup_steps
+    )
+    optimizer = optax.adam(lr)
     rng = jax.random.key(seed)
     state, _ = init_train_state(
         module, rng, (1, 21, 21, 21, input_channels), optimizer, mesh
@@ -142,7 +273,10 @@ def fit(
     bsh = batch_sharding(mesh)
     n_data = mesh.shape["data"]
     step = 0
-    for _ in range(epochs):
+    best_val = float("inf")
+    best_weights = None
+    epochs_since_best = 0
+    for epoch in range(epochs):
         for X, y, n_valid in loader:
             if step == 0 and y.shape[1] != n_classes:
                 raise ValueError(
@@ -180,6 +314,35 @@ def fit(
                 m = {k: float(v) for k, v in metrics.items()}
                 print(f"step {step}: loss={m['loss']:.4f} top1={m['top1']:.3f} top3={m['top3']:.3f}")
             step += 1
+        if val_loader is not None:
+            vm = evaluate(
+                module, val_loader, state.params, state.batch_stats, mesh
+            )
+            print(
+                f"epoch {epoch}: val_loss={vm['loss']:.4f} "
+                f"val_top1={vm['top1']:.3f} val_top3={vm['top3']:.3f} "
+                f"({vm['n']} residues)"
+            )
+            if vm["loss"] < best_val - min_delta:
+                best_val = vm["loss"]
+                epochs_since_best = 0
+                if patience is not None:
+                    best_weights = jax.tree.map(
+                        lambda x: x, (state.params, state.batch_stats)
+                    )
+            else:
+                epochs_since_best += 1
+                if patience is not None and epochs_since_best >= patience:
+                    print(
+                        f"early stop at epoch {epoch}: no val_loss "
+                        f"improvement > {min_delta} for {patience} epoch(s); "
+                        f"restoring best (val_loss={best_val:.4f})"
+                    )
+                    break
+    if best_weights is not None:
+        state = TrainState(
+            best_weights[0], best_weights[1], state.opt_state, state.step
+        )
     return state
 
 
