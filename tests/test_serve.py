@@ -247,3 +247,46 @@ def test_report_endpoint_returns_html(server_url, ubq_pdb_gz):
     with urllib.request.urlopen(req, timeout=120) as r:
         text = r.read().decode()
     assert "ROT design report" in text and "338-rotamer head" in text
+
+
+def test_metrics_endpoint(server_url, ubq_pdb_gz):
+    """GET /metrics: Prometheus text format with request counters, latency
+    histograms (cumulative buckets + +Inf == count), and per-model
+    coalescer gauges. Runs after other tests in this module, so /design
+    traffic is guaranteed to have been recorded."""
+    pdb = gzip.decompress(Path(ubq_pdb_gz).read_bytes())
+    status, _ = _post(f"{server_url}/design", pdb)
+    assert status == 200
+    with urllib.request.urlopen(f"{server_url}/metrics", timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert '# TYPE td_requests_total counter' in text
+    assert '# TYPE td_request_duration_seconds histogram' in text
+
+    def metric(line_prefix):
+        return [
+            l for l in text.splitlines() if l.startswith(line_prefix)
+        ]
+
+    ok_design = metric('td_requests_total{endpoint="/design",status="200"}')
+    assert ok_design and int(ok_design[0].split()[-1]) >= 1
+    # histogram sanity: +Inf bucket equals the count, buckets are cumulative
+    inf = metric('td_request_duration_seconds_bucket{endpoint="/design",le="+Inf"}')
+    cnt = metric('td_request_duration_seconds_count{endpoint="/design"}')
+    assert inf and cnt and inf[0].split()[-1] == cnt[0].split()[-1]
+    buckets = [
+        int(l.split()[-1])
+        for l in metric('td_request_duration_seconds_bucket{endpoint="/design"')
+    ]
+    assert buckets == sorted(buckets)
+    # per-model coalescer stats + head sizes for BOTH served models
+    assert metric('td_coalescer_stat{model="TIMED",stat="requests"}')
+    assert 'td_model_n_classes{model="ROT"} 338' in text
+    assert 'td_model_n_classes{model="TIMED"} 20' in text
+    # error traffic lands in the 4xx counters
+    status, _ = _post(f"{server_url}/design", b'{"pdb": 5}')
+    assert status == 400
+    with urllib.request.urlopen(f"{server_url}/metrics", timeout=60) as r:
+        text2 = r.read().decode()
+    assert 'td_requests_total{endpoint="/design",status="400"}' in text2

@@ -18,6 +18,9 @@ API (JSON):
                           timings, the seed used, and optional MC samples.
   POST /report            same body; returns the self-contained HTML design
                           report (report.py) instead of JSON.
+  GET  /metrics           Prometheus text format: request counts by
+                          endpoint/status, latency histograms, coalescer
+                          batching stats per model.
 
 Threading: concurrent requests are COALESCED into shared device batches
 (engine/coalescer.py): a worker thread packs whatever requests are queued
@@ -64,6 +67,97 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 MAX_SAMPLES_PER_REQUEST = 10_000  # one request must not OOM the device
+
+
+class ServerMetrics:
+    """Thread-safe request counters + latency histograms, rendered in the
+    Prometheus text exposition format (GET /metrics). The reference has no
+    serving observability at all; this is table stakes for a production
+    deployment (scrape-able by any Prometheus/Grafana stack)."""
+
+    # seconds; warm designs measure 0.04-0.06 s, cold compiles minutes
+    BUCKETS = (0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 30.0, 120.0)
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._requests: dict[tuple[str, int], int] = {}
+        self._hist: dict[str, list[int]] = {}
+        self._sum: dict[str, float] = {}
+        self._count: dict[str, int] = {}
+
+    def observe(self, endpoint: str, status: int, seconds: float):
+        with self._lock:
+            key = (endpoint, status)
+            self._requests[key] = self._requests.get(key, 0) + 1
+            if endpoint not in self._hist:
+                self._hist[endpoint] = [0] * (len(self.BUCKETS) + 1)
+                self._sum[endpoint] = 0.0
+                self._count[endpoint] = 0
+            buckets = self._hist[endpoint]
+            for i, le in enumerate(self.BUCKETS):
+                if seconds <= le:
+                    buckets[i] += 1
+                    break
+            else:
+                buckets[-1] += 1
+            self._sum[endpoint] += seconds
+            self._count[endpoint] += 1
+
+    def render(self, designers: dict) -> str:
+        lines = [
+            "# HELP td_requests_total HTTP requests by endpoint and status.",
+            "# TYPE td_requests_total counter",
+        ]
+        with self._lock:
+            for (ep, status), n in sorted(self._requests.items()):
+                lines.append(
+                    f'td_requests_total{{endpoint="{ep}",status="{status}"}} {n}'
+                )
+            lines += [
+                "# HELP td_request_duration_seconds Request wall time.",
+                "# TYPE td_request_duration_seconds histogram",
+            ]
+            for ep in sorted(self._hist):
+                cum = 0
+                for le, n in zip(self.BUCKETS, self._hist[ep]):
+                    cum += n
+                    lines.append(
+                        f'td_request_duration_seconds_bucket{{endpoint="{ep}"'
+                        f',le="{le}"}} {cum}'
+                    )
+                cum += self._hist[ep][-1]
+                lines.append(
+                    f'td_request_duration_seconds_bucket{{endpoint="{ep}"'
+                    f',le="+Inf"}} {cum}'
+                )
+                lines.append(
+                    f'td_request_duration_seconds_sum{{endpoint="{ep}"}} '
+                    f"{self._sum[ep]:.6f}"
+                )
+                lines.append(
+                    f'td_request_duration_seconds_count{{endpoint="{ep}"}} '
+                    f"{self._count[ep]}"
+                )
+        lines += [
+            "# HELP td_coalescer_stat Designer batching stats by model.",
+            "# TYPE td_coalescer_stat gauge",
+        ]
+        for name, d in sorted(designers.items()):
+            for k, v in dict(d.stats).items():
+                lines.append(
+                    f'td_coalescer_stat{{model="{name}",stat="{k}"}} {v}'
+                )
+        lines += [
+            "# HELP td_model_n_classes Output classes per served model.",
+            "# TYPE td_model_n_classes gauge",
+        ]
+        for name, d in sorted(designers.items()):
+            lines.append(
+                f'td_model_n_classes{{model="{name}"}} {d.session.n_classes}'
+            )
+        return "\n".join(lines) + "\n"
 
 
 def _design_payload(designer, pdb_text: str, n_samples: int = 0,
@@ -146,8 +240,11 @@ def make_server(designer, host: str, port: int, model_name: str,
     field picks one; same-model requests coalesce together (each model has
     its own worker/queue, so mixed traffic never packs incompatible
     heads)."""
+    import time
+
     session = designer.session
     designers = {model_name: designer, **(extra_designers or {})}
+    metrics = ServerMetrics()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -157,11 +254,25 @@ def make_server(designer, host: str, port: int, model_name: str,
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            self._record(code)
+
+        def _record(self, code: int):
+            t0 = getattr(self, "_t0", None)
+            if t0 is not None:
+                ep = (
+                    self.path
+                    if self.path in ("/design", "/report", "/healthz",
+                                     "/metrics")
+                    else "other"
+                )
+                metrics.observe(ep, code, time.perf_counter() - t0)
+                self._t0 = None  # one observation per request
 
         def log_message(self, fmt, *args):  # quiet: one line per request
             print(f"{self.address_string()} {fmt % args}")
 
         def do_GET(self):
+            self._t0 = time.perf_counter()
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", "model": model_name,
                                  "models": {
@@ -170,6 +281,16 @@ def make_server(designer, host: str, port: int, model_name: str,
                                  },
                                  "n_classes": session.n_classes,
                                  "coalescer": dict(designer.stats)})
+            elif self.path == "/metrics":
+                body = metrics.render(designers).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                self._record(200)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -180,8 +301,10 @@ def make_server(designer, host: str, port: int, model_name: str,
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            self._record(200)
 
         def do_POST(self):
+            self._t0 = time.perf_counter()
             if self.path not in ("/design", "/report"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
