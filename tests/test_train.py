@@ -466,6 +466,201 @@ def test_subset_map_loader_roundtrip(tmp_path, ubq_pdb_gz):
         np.testing.assert_array_equal(ys[:ns], y_full[rows])
 
 
+def test_balanced_class_weights():
+    """sklearn compute_class_weight('balanced') parity on present classes;
+    absent classes get 0, not inf."""
+    from timed_design_tpu.train import balanced_class_weights
+
+    labels = [0, 0, 0, 1, 1, 5]
+    w = balanced_class_weights(labels, 20)
+    sk = pytest.importorskip("sklearn.utils.class_weight")
+    ref = sk.compute_class_weight(
+        "balanced", classes=np.unique(labels), y=np.asarray(labels)
+    )
+    np.testing.assert_allclose(w[[0, 1, 5]], ref)
+    assert w[2:5].sum() == 0 and w[6:].sum() == 0
+    with pytest.raises(ValueError):
+        balanced_class_weights([], 20)
+
+
+def test_weighted_train_step_loss():
+    """Weighted CE: uniform weights reproduce the unweighted loss exactly;
+    arbitrary weights match a manual recomputation through the same module
+    apply (same dropout rng, pre-update params)."""
+    import optax as _optax
+
+    from timed_design_tpu.train import balanced_class_weights
+
+    module = timed(filters=(8,))
+    optimizer = optax.adam(1e-3)
+    state, _ = init_train_state(
+        module, jax.random.key(0), (1, 21, 21, 21, 5), optimizer
+    )
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.random((8, 21, 21, 21, 5)), jnp.float32)
+    labs = np.array([0, 0, 1, 1, 1, 2, 5, 5])
+    y = jnp.asarray(np.eye(20, dtype=np.float32)[labs])
+    sub = jax.random.key(5)
+
+    _, m_plain = jax.jit(make_train_step(module, optimizer))(state, X, y, sub)
+    _, m_ones = jax.jit(make_train_step(module, optimizer, np.ones(20)))(
+        state, X, y, sub
+    )
+    np.testing.assert_allclose(
+        float(m_ones["loss"]), float(m_plain["loss"]), rtol=1e-6
+    )
+
+    w = balanced_class_weights(labs, 20)
+    _, m_w = jax.jit(make_train_step(module, optimizer, w))(state, X, y, sub)
+    out, _ = module.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        X, train=True, logits=True, rngs={"dropout": sub},
+        mutable=["batch_stats"],
+    )
+    ce = np.asarray(_optax.softmax_cross_entropy(out, y), np.float64)
+    wrow = w[labs]
+    expect = (ce * wrow).sum() / wrow.sum()
+    np.testing.assert_allclose(float(m_w["loss"]), expect, rtol=1e-5)
+    # weighting changes the loss for this skewed batch (sanity)
+    assert abs(float(m_w["loss"]) - float(m_plain["loss"])) > 1e-6
+
+
+def test_bf16_train_step_close_to_fp32():
+    """Mixed-precision (--bf16) training: same param tree (fp32 params,
+    bf16 conv compute) — one step's loss must sit within bf16 resolution
+    of the fp32 step, and the updated params must stay fp32."""
+    mod32 = timed(filters=(8,))
+    mod16 = timed(filters=(8,), compute_dtype=jnp.bfloat16)
+    optimizer = optax.adam(1e-3)
+    state, _ = init_train_state(
+        mod32, jax.random.key(0), (1, 21, 21, 21, 5), optimizer
+    )
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.random((8, 21, 21, 21, 5)), jnp.float32)
+    y = jnp.asarray(np.eye(20, dtype=np.float32)[np.arange(8) % 20])
+    sub = jax.random.key(9)
+    s32, m32 = jax.jit(make_train_step(mod32, optimizer))(state, X, y, sub)
+    s16, m16 = jax.jit(make_train_step(mod16, optimizer))(state, X, y, sub)
+    l32, l16 = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) < 0.05, (l16, l32)
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        assert leaf.dtype == jnp.float32
+
+
+def test_init_train_state_warm_start():
+    """init_weights replaces the random init leaf-for-leaf; mismatched
+    architectures fail with a named leaf, not a garbage training run."""
+    module = timed(filters=(8,))
+    optimizer = optax.adam(1e-3)
+    variables = module.init(jax.random.key(3), jnp.zeros((1, 21, 21, 21, 5)))
+    given = {
+        "params": jax.tree.map(lambda a: np.asarray(a) + 1.0, variables["params"]),
+        "batch_stats": jax.tree.map(
+            lambda a: np.asarray(a) + 2.0, variables["batch_stats"]
+        ),
+    }
+    state, _ = init_train_state(
+        module, jax.random.key(0), (1, 21, 21, 21, 5), optimizer,
+        init_weights=given,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(given["params"]),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(given["batch_stats"]),
+        jax.tree_util.tree_leaves(state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a))
+
+    # wrong filter width -> shape error naming the leaf
+    other = timed(filters=(16,)).init(
+        jax.random.key(0), jnp.zeros((1, 21, 21, 21, 5))
+    )
+    with pytest.raises(ValueError, match="shape"):
+        init_train_state(
+            module, jax.random.key(0), (1, 21, 21, 21, 5), optimizer,
+            init_weights={"params": other["params"],
+                          "batch_stats": other["batch_stats"]},
+        )
+    # wrong depth -> structural error
+    deeper = timed(filters=(8, 16)).init(
+        jax.random.key(0), jnp.zeros((1, 21, 21, 21, 5))
+    )
+    with pytest.raises(ValueError, match="missing|extra"):
+        init_train_state(
+            module, jax.random.key(0), (1, 21, 21, 21, 5), optimizer,
+            init_weights={"params": deeper["params"],
+                          "batch_stats": deeper["batch_stats"]},
+        )
+    with pytest.raises(ValueError, match="params"):
+        init_train_state(
+            module, jax.random.key(0), (1, 21, 21, 21, 5), optimizer,
+            init_weights={},
+        )
+
+
+@pytest.mark.slow
+def test_train_cli_warm_start_e2e(tmp_path, ubq_pdb_gz, capsys):
+    """td-train --init_from: resume from a td-train .npz AND fine-tune a
+    Keras-release-format .h5 — the fine-tuning workflow the reference
+    cannot do at all (fixed releases, README.md:100-104)."""
+    from timed_design_tpu.cli.train import main as train_main
+    from timed_design_tpu.models import export_timed_to_h5, get_model_spec
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    h5 = make_frame_dataset(
+        [ubq_pdb_gz], tmp_path / "ubq.hdf5", codec="CNOCACB", layout="flat"
+    )
+    ck1 = tmp_path / "ck1.npz"
+    train_main([
+        "--path_to_dataset", str(h5), "--model", "TIMED",
+        "--batch_size", "76", "--epochs", "1", "--output", str(ck1),
+    ])
+    # resume from the npz checkpoint
+    ck2 = tmp_path / "ck2.npz"
+    train_main([
+        "--path_to_dataset", str(h5), "--model", "TIMED",
+        "--batch_size", "76", "--epochs", "1", "--output", str(ck2),
+        "--init_from", str(ck1),
+    ])
+    text = capsys.readouterr().out
+    assert "warm start: loaded checkpoint weights" in text
+    assert ck2.exists()
+    # fine-tune a Keras-release-format h5 of the same architecture
+    spec = get_model_spec("TIMED")
+    variables = spec.build().init(
+        jax.random.key(7), jnp.zeros((1, 21, 21, 21, 5))
+    )
+    release = export_timed_to_h5(
+        variables["params"], variables["batch_stats"], tmp_path / "TIMED.h5"
+    )
+    ck3 = tmp_path / "ck3.h5"
+    train_main([
+        "--path_to_dataset", str(h5), "--model", "TIMED",
+        "--batch_size", "76", "--epochs", "1", "--output", str(ck3),
+        "--init_from", str(release),
+    ])
+    text = capsys.readouterr().out
+    assert "warm start: imported Keras release weights" in text
+    assert "Exported Keras release-format h5" in text
+    # the exported h5 loads through the release-file importer and runs
+    from timed_design_tpu.models import load_keras_model
+
+    km = load_keras_model(ck3)
+    probs = np.asarray(km(jnp.zeros((1, 21, 21, 21, 5))))
+    assert probs.shape == (1, 20)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+    # non-TIMED trees refuse the .h5 output BEFORE training, not after
+    with pytest.raises(SystemExit, match="TIMED family"):
+        train_main([
+            "--path_to_dataset", str(h5), "--model", "DenseNet",
+            "--output", str(tmp_path / "d.h5"),
+        ])
+
+
 @pytest.mark.slow
 def test_train_cli_validation_e2e(tmp_path, ubq_pdb_gz, capsys, monkeypatch):
     """td-train --val_fraction/--patience/--lr_schedule end-to-end: split is
@@ -486,12 +681,21 @@ def test_train_cli_validation_e2e(tmp_path, ubq_pdb_gz, capsys, monkeypatch):
         "--path_to_dataset", str(h5), "--model", "TIMED",
         "--batch_size", "76", "--epochs", "2", "--val_fraction", "0.5",
         "--patience", "5", "--lr_schedule", "cosine", "--warmup_steps", "1",
-        "--bn_momentum", "0.9", "--output", str(out),
+        "--bn_momentum", "0.9", "--class_weight", "balanced",
+        "--output", str(out),
     ])
     text = capsys.readouterr().out
     assert "validation split: 76 residues held out (76 train)" in text
+    assert "balanced class weights from 76 train labels" in text
     assert "val_loss=" in text and "val_top3=" in text
     assert out.exists()
+    # balanced weighting needs 20-class residue labels -> rotamer heads refuse
+    with pytest.raises(SystemExit, match="20-class"):
+        train_main([
+            "--path_to_dataset", str(h5), "--model", "TIMED_rotamer",
+            "--class_weight", "balanced",
+            "--output", str(tmp_path / "r.npz"),
+        ])
     # --patience without a val split refuses up front
     with pytest.raises(SystemExit):
         train_main([

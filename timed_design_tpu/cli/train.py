@@ -23,6 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "converge — they lag the batch stats by "
                         "~1/(1-momentum) steps)")
     p.add_argument("--output", type=str, default="checkpoint.npz")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="Warm-start weights: a td-train checkpoint .npz, or "
+                        "a Keras release .h5 (TIMED family) imported via "
+                        "keras_import — fine-tune released models, a "
+                        "workflow the reference has no training code for")
     p.add_argument("--val_fraction", type=float, default=0.0,
                    help="Fraction of STRUCTURES (not residues) held out for "
                         "validation; eval-mode metrics print per epoch")
@@ -32,6 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(requires --val_fraction > 0)")
     p.add_argument("--min_delta", type=float, default=0.0,
                    help="Minimum val_loss improvement that resets patience")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 mixed-precision training: convs compute "
+                        "in bf16 on the MXU, params/BN/softmax/grads stay "
+                        "fp32 (the zoo modules' compute_dtype knob)")
+    p.add_argument("--class_weight", choices=("none", "balanced"),
+                   default="none",
+                   help="'balanced': inverse-frequency weighted "
+                        "cross-entropy computed from the TRAIN split's "
+                        "labels (the capability behind the reference's "
+                        "*_balanced release family; 20-class heads only — "
+                        "rotamer labels are not stored in frame datasets)")
     p.add_argument("--lr_schedule", choices=("constant", "cosine"),
                    default="constant")
     p.add_argument("--warmup_steps", type=int, default=0,
@@ -73,8 +89,43 @@ def main(argv=None) -> None:
         dataset, dmap, batch_size=args.batch_size,
         shuffle=not args.no_shuffle, shuffle_seed=args.seed,
     )
+    class_weights = None
+    if args.class_weight == "balanced":
+        if spec.n_classes != 20:
+            raise SystemExit(
+                "--class_weight balanced needs 20-class residue labels; "
+                f"{args.model} has a {spec.n_classes}-class head"
+            )
+        from ..constants import AA3_TO_INT
+        from ..train import balanced_class_weights
+
+        labels = [AA3_TO_INT[e[3]] for e in dmap.entries]
+        class_weights = balanced_class_weights(labels, spec.n_classes)
+        lo, hi = float(class_weights[class_weights > 0].min()), float(
+            class_weights.max()
+        )
+        print(f"balanced class weights from {len(labels)} train labels "
+              f"(min {lo:.3f} / max {hi:.3f})")
+    init_weights = None
+    if args.init_from:
+        src = Path(args.init_from)
+        if src.suffix in (".h5", ".hdf5"):
+            from ..models.keras_import import import_timed_params
+
+            init_weights = import_timed_params(src)
+            print(f"warm start: imported Keras release weights from {src}")
+        else:
+            from ..train import load_checkpoint_params
+
+            init_weights = load_checkpoint_params(src)
+            print(f"warm start: loaded checkpoint weights from {src}")
+    build_kw = {}
+    if args.bf16:
+        import jax.numpy as jnp
+
+        build_kw["compute_dtype"] = jnp.bfloat16
     try:
-        module = spec.build(bn_momentum=args.bn_momentum)
+        module = spec.build(bn_momentum=args.bn_momentum, **build_kw)
     except TypeError as e:
         # only the signature mismatch falls back (constructors are **kw
         # wrappers, so inspect.signature can't see the knob); any other
@@ -84,7 +135,19 @@ def main(argv=None) -> None:
             raise
         print(f"note: {args.model} has no bn_momentum knob; "
               f"--bn_momentum ignored")
-        module = spec.build()
+        module = spec.build(**build_kw)
+    out = Path(args.output)
+    export_h5 = out.suffix in (".h5", ".hdf5")
+    if export_h5:
+        from ..models.timed import TIMED
+
+        # refuse BEFORE the training run, not after it
+        if not isinstance(module, TIMED):
+            raise SystemExit(
+                f"--output {out.name}: Keras .h5 export covers the linear "
+                f"TIMED family only; {args.model} has a different parameter "
+                f"tree — use a .npz output and MODEL@ckpt.npz in predict"
+            )
     state = fit(
         module,
         loader,
@@ -98,9 +161,23 @@ def main(argv=None) -> None:
         min_delta=args.min_delta,
         lr_schedule=args.lr_schedule,
         warmup_steps=args.warmup_steps,
+        init_weights=init_weights,
+        class_weights=class_weights,
     )
-    save_checkpoint(state, args.output)
-    print(f"Saved checkpoint to {args.output} after {int(state.step)} steps")
+    if export_h5:
+        # release-format export: the trained model loads in our predict
+        # stack AND the reference's TF stack (predict.py:121) unchanged
+        from ..models import export_timed_to_h5
+
+        export_timed_to_h5(
+            state.params, state.batch_stats, out,
+            n_classes=spec.n_classes, input_channels=meta.frame_dims[-1],
+        )
+        print(f"Exported Keras release-format h5 to {out} "
+              f"after {int(state.step)} steps")
+    else:
+        save_checkpoint(state, out)
+        print(f"Saved checkpoint to {out} after {int(state.step)} steps")
 
 
 if __name__ == "__main__":

@@ -428,3 +428,87 @@ def _layer_fn(class_name: str, cfg: dict, lname: str, dt) -> t.Callable:
 def load_keras_model(path: Path, compute_dtype=jnp.float32) -> KerasH5Model:
     """Load a Keras `.h5` release file as a jittable JAX callable."""
     return KerasH5Model.load(path, compute_dtype=compute_dtype)
+
+
+_TIMED_PASSTHROUGH_LAYERS = {
+    "InputLayer", "ELU", "Activation", "SpatialDropout3D", "Dropout",
+    "GlobalAveragePooling3D", "Softmax",
+}
+
+
+def import_timed_params(path: Path) -> dict:
+    """Keras `.h5` -> Flax TIMED ``{"params", "batch_stats"}`` tree.
+
+    The inverse of keras_export.export_timed_to_h5, for FINE-TUNING released
+    weights with td-train (a workflow the reference cannot do at all — it
+    ships fixed `.h5` releases, README.md:100-104, and has no training
+    code). Accepts any linear Conv3D/ELU/BatchNorm chain ending in a
+    projection Conv3D — the TIMED family shape (README.md:254) in either
+    the Keras-3 or legacy Keras-2 weight layout. Branching graphs
+    (DenseNet/ProDCoNN releases) raise a ValueError naming the offending
+    layer; those still load for inference via `load_keras_model`.
+    """
+    path = Path(path)
+    with h5py.File(path, "r") as f:
+        config_raw = f.attrs.get("model_config")
+        if config_raw is None:
+            raise ValueError(f"{path} has no model_config attr (not a Keras h5?)")
+        if isinstance(config_raw, bytes):
+            config_raw = config_raw.decode()
+        config = json.loads(config_raw)
+        weights = _read_weights(f)
+
+    convs: list[str] = []
+    bns: list[str] = []
+    for lc in config["config"]["layers"]:
+        cn = lc["class_name"]
+        name = lc["config"]["name"]
+        if cn == "Conv3D":
+            convs.append(name)
+        elif cn == "BatchNormalization":
+            bns.append(name)
+        elif cn not in _TIMED_PASSTHROUGH_LAYERS:
+            raise ValueError(
+                f"layer {name!r} ({cn}) is not part of a linear TIMED "
+                f"conv/BN chain — this h5 cannot map onto the Flax TIMED "
+                f"parameter tree (use load_keras_model for inference)"
+            )
+    if len(convs) != len(bns) + 1:
+        raise ValueError(
+            f"expected one projection conv after {len(bns)} conv/BN blocks, "
+            f"found {len(convs)} Conv3D layers — not a TIMED-shaped chain"
+        )
+
+    def conv_params(lname: str) -> dict:
+        w = weights.get(lname, {})
+        if "kernel" not in w or "bias" not in w:
+            raise ValueError(
+                f"conv layer {lname!r} is missing kernel/bias weights "
+                f"(found {sorted(w)}) — use_bias=False convs cannot map "
+                f"onto the Flax TIMED tree"
+            )
+        return {"kernel": jnp.asarray(w["kernel"], jnp.float32),
+                "bias": jnp.asarray(w["bias"], jnp.float32)}
+
+    params: dict = {}
+    batch_stats: dict = {}
+    for i, (cname, bname) in enumerate(zip(convs, bns)):
+        bw = weights.get(bname, {})
+        missing = {"gamma", "beta", "moving_mean", "moving_variance"} - set(bw)
+        if missing:
+            raise ValueError(f"BN layer {bname!r} is missing {sorted(missing)}")
+        params[f"ConvBlock_{i}"] = {
+            "Conv_0": conv_params(cname),
+            "BatchNorm_0": {
+                "scale": jnp.asarray(bw["gamma"], jnp.float32),
+                "bias": jnp.asarray(bw["beta"], jnp.float32),
+            },
+        }
+        batch_stats[f"ConvBlock_{i}"] = {
+            "BatchNorm_0": {
+                "mean": jnp.asarray(bw["moving_mean"], jnp.float32),
+                "var": jnp.asarray(bw["moving_variance"], jnp.float32),
+            }
+        }
+    params["Conv_0"] = conv_params(convs[-1])
+    return {"params": params, "batch_stats": batch_stats}

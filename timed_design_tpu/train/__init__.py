@@ -1,6 +1,7 @@
 """Training subsystem (capability the reference lacks; ships h5 releases only)."""
 from .train import (  # noqa: F401
     TrainState,
+    balanced_class_weights,
     evaluate,
     fit,
     init_train_state,

@@ -63,8 +63,41 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def make_train_step(module, optimizer):
-    """Build the jittable (state, x, y, rng) -> (state, metrics) step."""
+def balanced_class_weights(labels, n_classes: int) -> np.ndarray:
+    """Inverse-frequency class weights, sklearn ``compute_class_weight(
+    'balanced')`` convention: ``n_samples / (n_present_classes * count_c)``
+    for each class present in ``labels``; absent classes get weight 0
+    (they contribute no loss terms anyway, and 0 avoids an inf that would
+    poison the weighted mean if a padding row ever carried one).
+
+    This is the training-side capability behind the reference's
+    ``TIMED_rotamer_balanced`` release family (ui.py:732-748) — the
+    balancing itself happened outside the reference repo, which ships no
+    training code (README.md:100-104).
+    """
+    counts = np.bincount(np.asarray(labels, np.int64), minlength=n_classes)
+    counts = counts.astype(np.float64)
+    present = counts > 0
+    if not present.any():
+        raise ValueError("no labels to balance")
+    w = np.zeros(n_classes, np.float64)
+    w[present] = counts.sum() / (present.sum() * counts[present])
+    return w
+
+
+def make_train_step(module, optimizer, class_weights=None):
+    """Build the jittable (state, x, y, rng) -> (state, metrics) step.
+
+    ``class_weights`` (shape ``(n_classes,)``) switches the loss to a
+    weighted cross-entropy: each row weighted by its label's weight,
+    normalized by the batch's total weight (so the LR scale is unchanged
+    vs the unweighted mean). top1/top3 metrics stay unweighted.
+    """
+    cw = (
+        None
+        if class_weights is None
+        else jnp.asarray(class_weights, jnp.float32)
+    )
 
     def loss_fn(params, batch_stats, x, y, rng):
         out, mutated = module.apply(
@@ -75,7 +108,12 @@ def make_train_step(module, optimizer):
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
-        loss = optax.softmax_cross_entropy(out, y).mean()
+        ce = optax.softmax_cross_entropy(out, y)
+        if cw is None:
+            loss = ce.mean()
+        else:
+            w = y @ cw
+            loss = (ce * w).sum() / jnp.maximum(w.sum(), 1e-9)
         return loss, (mutated["batch_stats"], out)
 
     def train_step(state: TrainState, x, y, rng):
@@ -204,17 +242,72 @@ def make_lr_schedule(
     raise ValueError(f"unknown lr schedule {name!r} (constant | cosine)")
 
 
+def _check_tree_shapes(fresh, given, what: str):
+    """Structural + shape validation of a warm-start tree against a fresh
+    init — a transposed kernel or wrong-head checkpoint must fail loudly
+    here, not as a silent garbage-training run."""
+    fresh_leaves = jax.tree_util.tree_flatten_with_path(fresh)[0]
+    given_flat = {
+        "/".join(str(getattr(k, "key", k)) for k in pk): leaf
+        for pk, leaf in jax.tree_util.tree_flatten_with_path(given)[0]
+    }
+    fresh_keys = {
+        "/".join(str(getattr(k, "key", k)) for k in pk) for pk, _ in fresh_leaves
+    }
+    if set(given_flat) != fresh_keys:
+        missing = sorted(fresh_keys - set(given_flat))[:4]
+        extra = sorted(set(given_flat) - fresh_keys)[:4]
+        raise ValueError(
+            f"init_weights {what} tree does not match the model: "
+            f"missing={missing} extra={extra} — wrong architecture for "
+            f"this warm start?"
+        )
+    for pk, leaf in fresh_leaves:
+        key = "/".join(str(getattr(k, "key", k)) for k in pk)
+        got = jnp.shape(given_flat[key])
+        if tuple(got) != tuple(jnp.shape(leaf)):
+            raise ValueError(
+                f"init_weights {what}[{key}] has shape {tuple(got)}, model "
+                f"expects {tuple(jnp.shape(leaf))} (e.g. a different head "
+                f"size or input channel count)"
+            )
+
+
 def init_train_state(
     module,
     rng: jax.Array,
     input_shape: tuple[int, ...],
     optimizer,
     mesh: Mesh | None = None,
+    init_weights: dict | None = None,
 ) -> tuple[TrainState, t.Any]:
-    """Initialize params/batch_stats/optimizer, placed per the mesh layout."""
+    """Initialize params/batch_stats/optimizer, placed per the mesh layout.
+
+    ``init_weights`` (a ``{"params", "batch_stats"}`` tree from
+    load_checkpoint_params or keras_import.import_timed_params) warm-starts
+    training from those weights instead of random init — the fine-tuning
+    path the reference has no equivalent for (it ships fixed .h5 releases,
+    README.md:100-104). Shapes are validated against the fresh init so a
+    mismatched checkpoint fails with a named leaf, not NaNs.
+    """
     variables = module.init(rng, jnp.zeros(input_shape, jnp.float32))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if init_weights is not None:
+        given_p = init_weights.get("params")
+        if given_p is None:
+            raise ValueError("init_weights must contain a 'params' tree")
+        _check_tree_shapes(params, given_p, "params")
+        params = jax.tree.map(
+            lambda f, g: jnp.asarray(g, jnp.asarray(f).dtype), params, given_p
+        )
+        given_bs = init_weights.get("batch_stats")
+        if batch_stats and given_bs:
+            _check_tree_shapes(batch_stats, given_bs, "batch_stats")
+            batch_stats = jax.tree.map(
+                lambda f, g: jnp.asarray(g, jnp.asarray(f).dtype),
+                batch_stats, given_bs,
+            )
     if mesh is not None:
         shardings = param_shardings(params, mesh)
         params = jax.tree.map(jax.device_put, params, shardings)
@@ -240,9 +333,20 @@ def fit(
     min_delta: float = 0.0,
     lr_schedule: str = "constant",
     warmup_steps: int = 0,
+    init_weights: dict | None = None,
+    class_weights=None,
 ) -> TrainState:
     """Host training loop over a FrameBatchLoader-style iterable of
     (X, y, n_valid) batches.
+
+    ``init_weights`` warm-starts from a ``{"params", "batch_stats"}`` tree
+    (checkpoint npz or an imported Keras release via
+    keras_import.import_timed_params) — see init_train_state.
+
+    ``class_weights`` (``(n_classes,)``, e.g. from balanced_class_weights)
+    trains with weighted cross-entropy; validation metrics (and therefore
+    early stopping) stay unweighted so epochs are compared on the same
+    scale users evaluate with.
 
     With ``val_loader``, eval-mode metrics run after every epoch; with
     ``patience`` as well, training stops after that many epochs without a
@@ -267,9 +371,10 @@ def fit(
     optimizer = optax.adam(lr)
     rng = jax.random.key(seed)
     state, _ = init_train_state(
-        module, rng, (1, 21, 21, 21, input_channels), optimizer, mesh
+        module, rng, (1, 21, 21, 21, input_channels), optimizer, mesh,
+        init_weights=init_weights,
     )
-    step_fn = jax.jit(make_train_step(module, optimizer))
+    step_fn = jax.jit(make_train_step(module, optimizer, class_weights))
     bsh = batch_sharding(mesh)
     n_data = mesh.shape["data"]
     step = 0
