@@ -105,3 +105,31 @@ def test_tagger_fetches_none_paths(pdb_server, tmp_path):
     # without a fetcher, None paths are skipped with the reference message
     tags2, assemblies2 = tag_structures_with_rotamers({"1ubq": None})
     assert tags2 == {} and assemblies2 == {}
+
+
+def test_resolver_finds_sharded_plain_pdb(tmp_path, ubq_pdb_gz):
+    """fetch_pdb's third fallback saves <shard>/{code}.pdb — the resolver
+    must find it on the next run instead of re-downloading forever."""
+    import gzip as _gzip
+
+    shard = tmp_path / "ab"
+    shard.mkdir()
+    (shard / "7abc.pdb").write_bytes(_gzip.decompress(ubq_pdb_gz.read_bytes()))
+    resolved = resolve_structure_paths(["7abcA"], tmp_path)
+    assert resolved["7abc"] == shard / "7abc.pdb"
+
+
+def test_resolver_fetches_each_code_once(tmp_path):
+    """Chain keys of one structure collapse to ONE fetch attempt — a dead
+    6-chain code must not stall on the network six times."""
+    calls = []
+
+    def fetcher(code):
+        calls.append(code)
+        raise FileNotFoundError("dead code")
+
+    resolved = resolve_structure_paths(
+        ["0zzzA", "0zzzB", "0zzzC"], tmp_path, fetcher=fetcher
+    )
+    assert resolved["0zzz"] is None
+    assert calls == ["0zzz"]

@@ -208,3 +208,15 @@ def test_sample_all_structures_statistics():
 
     freq = np.array([flat.count(AA1[i]) / len(flat) for i in range(3)])
     np.testing.assert_allclose(freq, [0.5, 0.3, 0.2], atol=0.01)
+
+
+def test_metrics_skip_unknown_letters():
+    """The 'X' placeholder (decode.py emits it for nonstandard residues)
+    must degrade sequence metrics, not crash the report/UI tables."""
+    import math
+
+    from timed_design_tpu.sample.metrics import sequence_metrics
+
+    assert sequence_metrics("ACDX") == sequence_metrics("ACD")
+    assert all(math.isnan(v) for v in sequence_metrics("XXX"))
+    assert all(math.isnan(v) for v in sequence_metrics(""))

@@ -290,3 +290,55 @@ def test_metrics_endpoint(server_url, ubq_pdb_gz):
     with urllib.request.urlopen(f"{server_url}/metrics", timeout=60) as r:
         text2 = r.read().decode()
     assert 'td_requests_total{endpoint="/design",status="400"}' in text2
+
+
+def test_metrics_label_escaping():
+    """A model name with quote/backslash/newline must not invalidate the
+    whole Prometheus exposition for the scraper."""
+    from timed_design_tpu.cli.serve import ServerMetrics
+
+    class FakeSession:
+        n_classes = 20
+
+    class FakeDesigner:
+        stats = {"requests": 1}
+        session = FakeSession()
+
+    text = ServerMetrics().render({'my"mo\\del\n': FakeDesigner()})
+    assert 'model="my\\"mo\\\\del\\n"' in text
+    # still one metric line per entry (the newline was escaped, not emitted)
+    assert not any(line.startswith("del") for line in text.splitlines())
+
+
+def test_report_document_per_chain_sections(ubq_pdb_gz):
+    """A multi-chain backbone renders one report section PER CHAIN — not a
+    single section silently spanning both chains' sequences."""
+    import gzip as _gzip
+
+    import numpy as np
+
+    from timed_design_tpu.cli.serve import _report_document
+    from timed_design_tpu.voxel.frames import FrameAtoms
+
+    R = 6
+    fa = FrameAtoms(
+        atoms_xyz=np.zeros((1, 3), np.float32),
+        atom_channel=np.zeros(1, np.int32),
+        atom_sigma=np.ones(1, np.float32),
+        atom_prop=np.zeros(1, np.float32),
+        ca=np.zeros((R, 3), np.float32),
+        rot=np.tile(np.eye(3, dtype=np.float32), (R, 1, 1)),
+        valid=np.ones(R, bool),
+        labels=["ALA"] * 3 + ["GLY"] * 3,
+        chain_ids=["A"] * 3 + ["B"] * 3,
+        residue_ids=[str(i) for i in range(R)],
+    )
+    probs = np.full((R, 20), 1 / 20.0, np.float32)
+
+    class FakeDesigner:
+        def design(self, structure):
+            return probs, fa, {}
+
+    pdb_text = _gzip.decompress(ubq_pdb_gz.read_bytes()).decode()
+    doc = _report_document(FakeDesigner(), pdb_text, "TIMED")
+    assert "queryA" in doc and "queryB" in doc

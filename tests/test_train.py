@@ -312,19 +312,35 @@ def test_split_dataset_map_structure_level():
     for pdb in ("1abc", "2def", "3ghi", "4jkl", "5mno"):
         for rid in range(4):
             entries.append((pdb, "A", str(rid), "ALA"))
-    # NMR states of one deposition must travel together
-    entries += [("6nmr_0", "A", "1", "GLY"), ("6nmr_01", "A", "1", "GLY")]
+    # NMR states of one deposition must travel together — including states
+    # beyond _0 (a substring test for "_0" would let _1.._9 conformers of
+    # the same fold straddle the split and leak into validation)
+    entries += [(f"6nmr_{i}", "A", "1", "GLY") for i in range(4)]
     dmap = DatasetMap(entries=entries)
     train_map, val_map = split_dataset_map(dmap, 0.34, seed=3)
-    train_pdbs = {e[0].split("_0")[0] for e in train_map.entries}
-    val_pdbs = {e[0].split("_0")[0] for e in val_map.entries}
+
+    def parent(p):
+        import re
+
+        return re.sub(r"_\d+$", "", p)
+
+    train_pdbs = {parent(e[0]) for e in train_map.entries}
+    val_pdbs = {parent(e[0]) for e in val_map.entries}
     assert train_pdbs.isdisjoint(val_pdbs)
     assert len(val_pdbs) == 2  # round(6 * 0.34)
     assert len(train_map.entries) + len(val_map.entries) == len(entries)
     # NMR states never straddle the split
     in_train = sum(e[0].startswith("6nmr") for e in train_map.entries)
     in_val = sum(e[0].startswith("6nmr") for e in val_map.entries)
-    assert (in_train, in_val) in ((2, 0), (0, 2))
+    assert (in_train, in_val) in ((4, 0), (0, 4))
+    # a mid-string "_0" is NOT a state suffix: ts_02x stays its own structure
+    dmap2 = DatasetMap(
+        entries=[("ts_02x", "A", "1", "ALA"), ("ts", "A", "1", "ALA"),
+                 ("zz", "A", "1", "GLY"), ("ww", "A", "1", "GLY")]
+    )
+    t2, v2 = split_dataset_map(dmap2, 0.25, seed=0)
+    names = {e[0] for e in t2.entries} | {e[0] for e in v2.entries}
+    assert names == {"ts_02x", "ts", "zz", "ww"}
     # identity tag dropped: subsets are not row-identical to the flat file
     assert train_map.row_identity_for is None
     # val_fraction=0 passes through untouched
@@ -380,7 +396,8 @@ def test_fit_early_stopping_restores_best(monkeypatch):
     scripted = [1.0, 2.0, 2.0, 0.1, 0.1]
     seen_params = []
 
-    def fake_evaluate(module, loader, params, batch_stats, mesh=None):
+    def fake_evaluate(module, loader, params, batch_stats, mesh=None,
+                      step_fn=None):
         seen_params.append(jax.tree.map(np.asarray, params))
         return {"loss": scripted[len(seen_params) - 1], "top1": 0.0,
                 "top3": 0.0, "n": 8}

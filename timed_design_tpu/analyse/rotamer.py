@@ -47,8 +47,10 @@ def resolve_structure_paths(
     """
     pdb_dir = Path(pdb_dir)
     out: dict[str, t.Optional[Path]] = {}
-    for key in codes:
-        code = key[:4]
+    # chain keys ('2xxxA', '2xxxB', ...) collapse to one 4-char code —
+    # dedupe BEFORE the loop so a dead code is fetched (3 URLs × timeout)
+    # once, not once per chain
+    for code in dict.fromkeys(key[:4] for key in codes):
         found = None
         for cand in (
             pdb_dir / f"{code}.pdb",
@@ -56,6 +58,9 @@ def resolve_structure_paths(
             pdb_dir / f"{code}.pdb1.gz",
             pdb_dir / code[1:3] / f"{code}.pdb1.gz",
             pdb_dir / code[1:3] / f"{code}.pdb1",
+            # fetch_pdb's third fallback lands as <shard>/{code}.pdb —
+            # without this candidate every later run re-downloads it
+            pdb_dir / code[1:3] / f"{code}.pdb",
         ):
             if cand.exists():
                 found = cand

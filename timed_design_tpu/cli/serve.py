@@ -105,7 +105,20 @@ class ServerMetrics:
             self._sum[endpoint] += seconds
             self._count[endpoint] += 1
 
+    @staticmethod
+    def _label(value) -> str:
+        """Escape a Prometheus label value (exposition format: backslash,
+        double quote, newline) — a model name like ``my"model`` must not
+        invalidate the whole /metrics payload for the scraper."""
+        return (
+            str(value)
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+        )
+
     def render(self, designers: dict) -> str:
+        esc = self._label
         lines = [
             "# HELP td_requests_total HTTP requests by endpoint and status.",
             "# TYPE td_requests_total counter",
@@ -147,7 +160,7 @@ class ServerMetrics:
         for name, d in sorted(designers.items()):
             for k, v in dict(d.stats).items():
                 lines.append(
-                    f'td_coalescer_stat{{model="{name}",stat="{k}"}} {v}'
+                    f'td_coalescer_stat{{model="{esc(name)}",stat="{esc(k)}"}} {v}'
                 )
         lines += [
             "# HELP td_model_n_classes Output classes per served model.",
@@ -155,7 +168,8 @@ class ServerMetrics:
         ]
         for name, d in sorted(designers.items()):
             lines.append(
-                f'td_model_n_classes{{model="{name}"}} {d.session.n_classes}'
+                f'td_model_n_classes{{model="{esc(name)}"}} '
+                f"{d.session.n_classes}"
             )
         return "\n".join(lines) + "\n"
 
@@ -222,14 +236,28 @@ def _report_document(designer, pdb_text: str, model_name: str) -> str:
     structure = parse_pdb_string(pdb_text, name="query")[0]
     probs, fa, _ = designer.design(structure)
     probs = np.asarray(probs)
-    key = f"query{fa.chain_ids[0] if fa.chain_ids else ''}"
-    native = "".join(AA3_TO_AA1.get(l, "X") for l in fa.labels)
     from ..constants import compress_rotamer_probs
 
     probs20 = compress_rotamer_probs(probs) if probs.shape[1] == 338 else probs
     designed = "".join(np.array(list(AA1))[np.asarray(probs20).argmax(1)])
+    native = "".join(AA3_TO_AA1.get(l, "X") for l in fa.labels)
+    # one report section PER CHAIN — a multi-chain backbone rendered as one
+    # section would silently mix chains' sequences/metrics under one title
+    chains = list(dict.fromkeys(fa.chain_ids))
+    if not chains:
+        designed_d = {"query": designed}
+        native_d = {"query": native}
+        probs_d = {"query": probs}
+    else:
+        designed_d, native_d, probs_d = {}, {}, {}
+        for ch in chains:
+            idx = [i for i, c in enumerate(fa.chain_ids) if c == ch]
+            key = f"query{ch}"
+            designed_d[key] = "".join(designed[i] for i in idx)
+            native_d[key] = "".join(native[i] for i in idx)
+            probs_d[key] = probs[idx]
     return render_design_report(
-        {key: designed}, {key: native}, {key: probs}, model_name=model_name
+        designed_d, native_d, probs_d, model_name=model_name
     )
 
 

@@ -13,6 +13,7 @@ instead of raw ndarray tuples.
 from __future__ import annotations
 
 import dataclasses
+import re as _re
 from pathlib import Path
 
 SRB_HEADER = "ignore_uncommon False\ninclude_pdbs\n##########\n"
@@ -115,7 +116,11 @@ def split_dataset_map(
         raise ValueError(f"val_fraction must be in [0, 1), got {val_fraction}")
 
     def parent(pdb: str) -> str:
-        return pdb.split("_0")[0] if "_0" in pdb else pdb
+        # strip ONE trailing _<digits> state suffix (voxelise_all_states
+        # names states {code}_0, {code}_1, ... — pdb.py); substring tests
+        # like '"_0" in pdb' would miss _1.._9 states and let conformers
+        # of one deposition straddle the split
+        return _re.sub(r"_\d+$", "", pdb)
 
     structures = sorted({parent(p) for p, _, _, _ in dmap.entries})
     if val_fraction == 0.0 or not structures:

@@ -87,9 +87,17 @@ def batched_metrics_from_counts(counts: jax.Array, ph: float = 7.4):
 def sequence_metrics(seq: str, ph: float = 7.4) -> tuple[float, float, float, float]:
     """Host convenience: one sequence -> (charge, pI, MW, ext280).
 
-    Reference-shaped return (analyse_utils.py:351-371).
+    Reference-shaped return (analyse_utils.py:351-371). Letters outside the
+    20-AA alphabet (the ``X`` placeholder decode.py emits for nonstandard
+    residue labels) are skipped — native sequences reach this through the
+    report/UI metric tables, and a crystal with one MSE must degrade to
+    19-residue metrics, not crash the whole render. An all-unknown (or
+    empty) sequence returns NaNs.
     """
-    codes = jnp.asarray([AA1_TO_INT[c] for c in seq], jnp.int32)
+    known = [AA1_TO_INT[c] for c in seq if c in AA1_TO_INT]
+    if not known:
+        return (float("nan"),) * 4
+    codes = jnp.asarray(known, jnp.int32)
     counts = counts_from_codes(codes[None, :])
     m = batched_metrics_from_counts(counts, ph=ph)
     return (

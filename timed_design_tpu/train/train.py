@@ -174,13 +174,17 @@ def evaluate(
     params,
     batch_stats,
     mesh: Mesh | None = None,
+    step_fn=None,
 ) -> dict:
     """Run eval-mode metrics over a loader of ``(X, y, n_valid)`` batches.
 
     Returns ``{"loss", "top1", "top3", "n"}`` averaged over the valid rows
-    only (loader padding rows are masked out on device)."""
+    only (loader padding rows are masked out on device). Pass ``step_fn``
+    (a prebuilt ``jax.jit(make_eval_step(module))``) when calling in a loop
+    — a fresh closure per call would miss the jit cache and recompile the
+    forward pass every epoch (minutes each on the tunnel)."""
     mesh = mesh if mesh is not None else make_mesh()
-    step_fn = jax.jit(make_eval_step(module))
+    step_fn = step_fn if step_fn is not None else jax.jit(make_eval_step(module))
     bsh = batch_sharding(mesh)
     n_data = mesh.shape["data"]
     totals = {"loss_sum": 0.0, "top1_sum": 0.0, "top3_sum": 0.0, "n": 0.0}
@@ -375,6 +379,9 @@ def fit(
         init_weights=init_weights,
     )
     step_fn = jax.jit(make_train_step(module, optimizer, class_weights))
+    eval_step = (
+        jax.jit(make_eval_step(module)) if val_loader is not None else None
+    )
     bsh = batch_sharding(mesh)
     n_data = mesh.shape["data"]
     step = 0
@@ -421,7 +428,8 @@ def fit(
             step += 1
         if val_loader is not None:
             vm = evaluate(
-                module, val_loader, state.params, state.batch_stats, mesh
+                module, val_loader, state.params, state.batch_stats, mesh,
+                step_fn=eval_step,
             )
             print(
                 f"epoch {epoch}: val_loss={vm['loss']:.4f} "
