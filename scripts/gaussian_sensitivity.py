@@ -71,7 +71,10 @@ def compare_probs(pa, pb) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=100)
-    ap.add_argument("--cpu", action="store_true", default=True)
+    # default ON (the study is deterministic and fast on host); pass
+    # --no-cpu to run it on the TPU build it nominally characterizes
+    ap.add_argument("--cpu", action=argparse.BooleanOptionalAction,
+                    default=True)
     args = ap.parse_args()
 
     import jax

@@ -133,3 +133,19 @@ def test_resolver_fetches_each_code_once(tmp_path):
     )
     assert resolved["0zzz"] is None
     assert calls == ["0zzz"]
+
+
+def test_fetcher_rejects_html_error_pages(tmp_path):
+    """A proxy answering 200 with an HTML error page must not poison the
+    mirror: the non-gz candidates get content-validated too, and nothing
+    is written for any candidate."""
+    from timed_design_tpu.io.fetch import fetch_pdb
+
+    def opener(url):
+        if url.endswith(".gz"):
+            raise OSError("404")
+        return b"<html><body>Rate limit exceeded</body></html>"
+
+    with pytest.raises(FileNotFoundError, match="no PDB records"):
+        fetch_pdb("9xyz", tmp_path, opener=opener)
+    assert list(tmp_path.iterdir()) == []

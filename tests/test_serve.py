@@ -342,3 +342,24 @@ def test_report_document_per_chain_sections(ubq_pdb_gz):
     pdb_text = _gzip.decompress(ubq_pdb_gz.read_bytes()).decode()
     doc = _report_document(FakeDesigner(), pdb_text, "TIMED")
     assert "queryA" in doc and "queryB" in doc
+
+
+def test_binary_body_gets_400(server_url, ubq_pdb_gz):
+    """Posting raw gzip bytes (the natural mistake: the fixture format
+    un-gunzipped) must be a 400, not a crashed handler thread."""
+    status, body = _post(server_url + "/design", ubq_pdb_gz.read_bytes())
+    assert status == 400 and "UTF-8" in body["error"]
+
+
+def test_empty_model_name_gets_400(server_url, ubq_pdb_gz):
+    """"model": "" must 400 like any unknown name — only an ABSENT/null
+    model falls back to the default (an unset template variable must not
+    silently get the default model's head)."""
+    pdb_text = gzip.decompress(ubq_pdb_gz.read_bytes()).decode()
+    payload = json.dumps({"pdb": pdb_text, "model": ""}).encode()
+    status, body = _post(server_url + "/design", payload)
+    assert status == 400 and "unknown model" in body["error"]
+    # null still selects the default
+    payload = json.dumps({"pdb": pdb_text, "model": None}).encode()
+    status, body = _post(server_url + "/design", payload)
+    assert status == 200 and body["model"] == "TIMED"

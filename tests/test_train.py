@@ -719,3 +719,36 @@ def test_train_cli_validation_e2e(tmp_path, ubq_pdb_gz, capsys, monkeypatch):
             "--path_to_dataset", str(h5), "--patience", "1",
             "--output", str(tmp_path / "x.npz"),
         ])
+
+
+def test_fit_early_stopping_nan_divergence(monkeypatch, capsys):
+    """All-NaN validation losses: patience still trips, the final weights
+    come back unchanged (there is no best to restore), and the message
+    says so instead of claiming a restore that never happened."""
+    import timed_design_tpu.train.train as train_mod
+    from timed_design_tpu.train import fit
+
+    calls = []
+
+    def fake_evaluate(module, loader, params, batch_stats, mesh=None,
+                      step_fn=None):
+        calls.append(jax.tree.map(np.asarray, params))
+        return {"loss": float("nan"), "top1": 0.0, "top3": 0.0, "n": 8}
+
+    monkeypatch.setattr(train_mod, "evaluate", fake_evaluate)
+    module = timed(filters=(4,))
+    batches = _toy_batches(n_batches=2, batch=8)
+    state = fit(
+        module, batches, n_classes=20, learning_rate=3e-3, epochs=10,
+        val_loader=batches[:1], patience=2, min_delta=1e-6,
+    )
+    assert len(calls) == 2  # NaN never "improves": stops at patience
+    out = capsys.readouterr().out
+    assert "no finite val_loss" in out
+    assert "restoring best" not in out
+    # the FINAL epoch's weights are returned (no phantom restore)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.tree.map(np.asarray, state.params)),
+        jax.tree_util.tree_leaves(calls[-1]),
+    ):
+        np.testing.assert_array_equal(a, b)

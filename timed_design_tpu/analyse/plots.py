@@ -160,20 +160,60 @@ def plot_mean_var_probs(prediction_matrix: np.ndarray, title: str, output_path: 
     return out
 
 
-def plot_sequence_heatmap(prediction_matrix: np.ndarray, title: str, output_path: Path):
-    """Probability heatmap residues x classes (design_utils/analyse.py:27-41)."""
+def probability_heatmap_fig(
+    probs: np.ndarray,
+    *,
+    native_seq: str | None = None,
+    title: str | None = None,
+    percent: bool = True,
+    figsize: tuple[float, float] | None = None,
+):
+    """The ONE per-position probability heatmap renderer (viridis
+    sequential = magnitude, AA letters on y, optional native-residue
+    overlay circles — the reference UI's mark_rect + 'Ori' encoding,
+    ui.py:424-485). The streamlit UI, the HTML report, and the saved
+    analysis plots all draw through here so the encoding cannot drift
+    between surfaces. Returns the matplotlib Figure (caller closes)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    P = np.asarray(prediction_matrix)
-    fig, ax = plt.subplots(figsize=(max(0.15 * len(P), 6), 5))
-    im = ax.imshow(P.T, aspect="auto", cmap="viridis")
+    P = np.asarray(probs)
+    L = len(P)
+    fig, ax = plt.subplots(
+        figsize=figsize or (min(16.0, max(6.0, 3 + L * 0.14)), 5)
+    )
+    im = ax.imshow(P.T * (100.0 if percent else 1.0), aspect="auto",
+                   cmap="viridis", origin="upper", interpolation="nearest")
     ax.set_yticks(range(20), list(AA1))
     ax.set_xlabel("Residue Position")
-    fig.colorbar(im)
-    ax.set_title(title)
+    ax.set_ylabel("Residue")
+    if native_seq is not None:
+        aa_index = {a: i for i, a in enumerate(AA1)}
+        xs = [i for i, a in enumerate(native_seq) if a in aa_index]
+        ys = [aa_index[a] for a in native_seq if a in aa_index]
+        ax.scatter(xs, ys, s=18, facecolors="none", edgecolors="red",
+                   linewidths=0.8, label="Original residue")
+        if xs:
+            ax.legend(loc="upper right", fontsize=8)
+    fig.colorbar(im, label="Probability (%)" if percent else "Probability")
+    if title is not None:
+        ax.set_title(title, fontsize=10)
+    return fig
+
+
+def plot_sequence_heatmap(prediction_matrix: np.ndarray, title: str, output_path: Path):
+    """Probability heatmap residues x classes (design_utils/analyse.py:27-41).
+
+    Keeps the reference convention (raw probabilities, no overlay); the
+    rendering itself is `probability_heatmap_fig`."""
+    import matplotlib.pyplot as plt
+
+    P = np.asarray(prediction_matrix)
+    fig = probability_heatmap_fig(
+        P, percent=False, title=title, figsize=(max(0.15 * len(P), 6), 5)
+    )
     out = Path(output_path) / f"{title.replace(' ', '_')}_heatmap.png"
     fig.savefig(out)
     plt.close(fig)

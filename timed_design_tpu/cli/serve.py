@@ -35,6 +35,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -67,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 MAX_SAMPLES_PER_REQUEST = 10_000  # one request must not OOM the device
+
+# matplotlib's pyplot state machine (the Gcf figure registry the report
+# renderer goes through) is NOT thread-safe; ThreadingHTTPServer runs each
+# /report on its own thread, so renders are serialized. Design requests are
+# unaffected — they coalesce through the worker, not this lock.
+_RENDER_LOCK = threading.Lock()
 
 
 class ServerMetrics:
@@ -256,9 +263,10 @@ def _report_document(designer, pdb_text: str, model_name: str) -> str:
             designed_d[key] = "".join(designed[i] for i in idx)
             native_d[key] = "".join(native[i] for i in idx)
             probs_d[key] = probs[idx]
-    return render_design_report(
-        designed_d, native_d, probs_d, model_name=model_name
-    )
+    with _RENDER_LOCK:
+        return render_design_report(
+            designed_d, native_d, probs_d, model_name=model_name
+        )
 
 
 def make_server(designer, host: str, port: int, model_name: str,
@@ -337,7 +345,15 @@ def make_server(designer, host: str, port: int, model_name: str,
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             length = int(self.headers.get("Content-Length", 0))
-            raw = self.rfile.read(length).decode()
+            try:
+                raw = self.rfile.read(length).decode()
+            except UnicodeDecodeError:
+                # e.g. a gzipped .pdb1.gz posted verbatim — a 400, not a
+                # crashed handler thread / dropped connection
+                self._send(400, {
+                    "error": "request body must be UTF-8 text "
+                             "(PDB or JSON); got binary data"})
+                return
             n_samples, temperature, seed = 0, 0.2, None
             req_model = model_name
             pdb_text = raw
@@ -356,7 +372,11 @@ def make_server(designer, host: str, port: int, model_name: str,
                     temperature = 0.2 if t is None else float(t)
                     seed = req.get("seed")
                     seed = None if seed is None else int(seed)
-                    req_model = req.get("model") or model_name
+                    # only an ABSENT/null "model" falls back to the default;
+                    # "" or other falsy junk must 400 like any unknown name,
+                    # not silently route to the default model's head
+                    m = req.get("model")
+                    req_model = model_name if m is None else m
                     if not isinstance(req_model, str):
                         raise TypeError("'model' must be a string")
                 except (ValueError, KeyError, TypeError, OverflowError) as e:

@@ -22,6 +22,19 @@ RCSB_BASE_URL = "https://files.rcsb.org/download/"
 GZIP_MAGIC = b"\x1f\x8b"
 
 
+def _looks_like_pdb(data: bytes) -> bool:
+    """True when ``data`` contains at least one PDB record line.
+
+    The coarse check that keeps HTML error pages served with status 200
+    out of the mirror — any real (even partial) PDB entry starts lines
+    with fixed 6-char record names."""
+    head = data[:65536]
+    return any(
+        marker in head
+        for marker in (b"\nATOM  ", b"\nHETATM", b"\nHEADER")
+    ) or head.startswith((b"ATOM  ", b"HETATM", b"HEADER"))
+
+
 def default_opener(url: str, timeout: float = 30.0) -> bytes:
     """The stdlib transport: GET the URL, return the body bytes."""
     import urllib.request
@@ -43,7 +56,10 @@ def fetch_pdb(
     Tries the biological-assembly names the reference's mirror layout uses
     (analyse_utils.py:952-961): ``{code}.pdb1.gz``, then ``{code}.pdb1``,
     then ``{code}.pdb``. A ``.gz`` response without the gzip magic counts
-    as a miss (a mislabeling server must not poison the mirror). Raises
+    as a miss, and a plain-text response without any PDB record line
+    (e.g. a proxy's HTML error page served with status 200) likewise — a
+    mislabeling server must not poison the mirror, because every later
+    run would resolve the poisoned file and crash in the parser. Raises
     ``FileNotFoundError`` when no candidate exists.
     """
     code = pdb_code[:4].lower()
@@ -58,8 +74,12 @@ def fetch_pdb(
         except OSError as e:  # HTTPError/URLError are OSError subclasses
             last_err = e
             continue
-        if name.endswith(".gz") and not data.startswith(GZIP_MAGIC):
-            last_err = ValueError(f"{url}: response is not gzip data")
+        if name.endswith(".gz"):
+            if not data.startswith(GZIP_MAGIC):
+                last_err = ValueError(f"{url}: response is not gzip data")
+                continue
+        elif not _looks_like_pdb(data):
+            last_err = ValueError(f"{url}: response has no PDB records")
             continue
         out = output_folder / name
         out.write_bytes(data)

@@ -66,36 +66,13 @@ def _img(fig, alt: str) -> str:
 
 
 def _heatmap_fig(probs20: np.ndarray, native_seq: str, title: str):
-    """Same encoding as analyse/plots.py plot_sequence_heatmap (viridis
-    sequential = magnitude) plus the UI's native-residue overlay
-    (ui.py:178-214 / reference ui.py:424-485)."""
-    import matplotlib
+    """The shared probability-heatmap renderer (one encoding across the
+    UI, this report, and the saved analysis plots)."""
+    from .analyse.plots import probability_heatmap_fig
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    from .constants import AA1
-
-    fig, ax = plt.subplots(
-        figsize=(max(6.0, 0.12 * probs20.shape[0]), 4.2)
+    return probability_heatmap_fig(
+        np.asarray(probs20), native_seq=native_seq, title=title
     )
-    im = ax.imshow(
-        np.asarray(probs20).T * 100.0, aspect="auto", cmap="viridis",
-        interpolation="nearest",
-    )
-    aa_index = {a: i for i, a in enumerate(AA1)}
-    xs = [i for i, a in enumerate(native_seq) if a in aa_index]
-    ys = [aa_index[a] for a in native_seq if a in aa_index]
-    ax.scatter(xs, ys, s=12, facecolors="none", edgecolors="#d62728",
-               linewidths=0.8, label="native residue")
-    ax.set_yticks(range(len(AA1)))
-    ax.set_yticklabels(list(AA1), fontsize=7)
-    ax.set_xlabel("Position")
-    ax.set_title(title, fontsize=10)
-    if xs:
-        ax.legend(loc="upper right", fontsize=7)
-    fig.colorbar(im, label="Probability (%)")
-    return fig
 
 
 def _entropy_fig(entropy: np.ndarray, title: str):

@@ -446,10 +446,19 @@ def fit(
             else:
                 epochs_since_best += 1
                 if patience is not None and epochs_since_best >= patience:
+                    # NaN divergence means no epoch ever improved on inf:
+                    # there is nothing to restore, and saying "restoring
+                    # best" while returning the diverged weights would lie
+                    restored = (
+                        f"restoring best (val_loss={best_val:.4f})"
+                        if best_weights is not None
+                        else "no finite val_loss ever recorded — keeping "
+                             "final weights (training diverged?)"
+                    )
                     print(
                         f"early stop at epoch {epoch}: no val_loss "
-                        f"improvement > {min_delta} for {patience} epoch(s); "
-                        f"restoring best (val_loss={best_val:.4f})"
+                        f"improvement > {min_delta} for {patience} "
+                        f"epoch(s); {restored}"
                     )
                     break
     if best_weights is not None:

@@ -198,26 +198,14 @@ def _draw_property_constraints(native_seq, residue_map, prop):
 def _probability_heatmap(probs20, native_seq, rotamer_probs=None,
                          rotamer_categories=None):
     """Per-position probability heatmap, native residues circled — the
-    reference's altair mark_rect + 'Ori' overlay (ui.py:424-485), rendered
-    with matplotlib."""
+    reference's altair mark_rect + 'Ori' overlay (ui.py:424-485), drawn by
+    the shared renderer (analyse/plots.py probability_heatmap_fig)."""
     import matplotlib.pyplot as plt
 
-    from .constants import AA1
+    from .analyse.plots import probability_heatmap_fig
 
     L = probs20.shape[0]
-    fig, ax = plt.subplots(figsize=(min(16, 3 + L * 0.14), 5))
-    im = ax.imshow(probs20.T * 100, aspect="auto", cmap="viridis",
-                   origin="upper")
-    ax.set_yticks(range(20), list(AA1))
-    ax.set_xlabel("Position")
-    ax.set_ylabel("Residue")
-    native_idx = [AA1.index(a) if a in AA1 else -1 for a in native_seq]
-    xs = [i for i, v in enumerate(native_idx) if v >= 0]
-    ys = [v for v in native_idx if v >= 0]
-    ax.scatter(xs, ys, s=18, facecolors="none", edgecolors="red",
-               linewidths=0.8, label="Original residue")
-    ax.legend(loc="upper right", fontsize=8)
-    fig.colorbar(im, label="Probability (%)")
+    fig = probability_heatmap_fig(probs20, native_seq=native_seq)
     st.pyplot(fig)
     plt.close(fig)
     st.write('"Red circle" marks the residue in the original sequence.')
@@ -311,10 +299,14 @@ def _draw_output_section(model_name, probs, probs20, designed_seq,
     st.subheader("Prediction entropy")
     st.line_chart(calculate_prediction_entropy(probs20))
     st.subheader("Sequence logo")
-    st.pyplot(create_sequence_logo(probs20))
+    logo_fig = create_sequence_logo(probs20)
+    st.pyplot(logo_fig)
     import matplotlib.pyplot as plt
 
-    plt.close("all")
+    # close ONLY this section's figure: streamlit serves sessions on
+    # threads of one process, and close("all") would deregister another
+    # session's in-flight figure from the shared pyplot registry
+    plt.close(logo_fig)
     st.download_button(
         "Download probabilities CSV",
         "\n".join(",".join(f"{v:.6f}" for v in row) for row in probs),
