@@ -260,3 +260,39 @@ def test_compiler_options_per_architecture():
     assert xla_opts._MODEL_KIB["DenseNet"] == "98304"
     assert xla_opts._MODEL_KIB["ProDCoNN"] is None
     assert xla_opts._DEFAULT_KIB == "131072"
+
+
+def test_datasetmap_default_found_in_output_dir(tmp_path, monkeypatch, ubq_h5):
+    """The engine saves the generated map to path_to_output; a second run
+    keeping the default CWD-relative 'datasetmap.txt' must FIND that saved
+    map instead of regenerating forever (the CWD never gets one)."""
+    import jax
+
+    import timed_design_tpu.engine.predictor as pred_mod
+    from timed_design_tpu.models import timed
+
+    module = timed(filters=(4,))
+    variables = module.init(
+        jax.random.key(0), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    cwd = tmp_path / "cwd"
+    cwd.mkdir()
+    monkeypatch.chdir(cwd)
+    r1 = load_dataset_and_predict(
+        [(module, variables)], ubq_h5, batch_size=32, path_to_output=out,
+        allow_random_weights=True,
+    )
+    assert (out / "datasetmap.txt").exists()
+    assert not (cwd / "datasetmap.txt").exists()
+
+    def boom(*a, **k):
+        raise AssertionError("run 2 regenerated the datasetmap")
+
+    monkeypatch.setattr(pred_mod, "save_datasetmap", boom)
+    r2 = load_dataset_and_predict(
+        [(module, variables)], ubq_h5, batch_size=32, path_to_output=out,
+        allow_random_weights=True,
+    )
+    assert r2.pdb_to_sequence == r1.pdb_to_sequence

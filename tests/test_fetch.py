@@ -149,3 +149,18 @@ def test_fetcher_rejects_html_error_pages(tmp_path):
     with pytest.raises(FileNotFoundError, match="no PDB records"):
         fetch_pdb("9xyz", tmp_path, opener=opener)
     assert list(tmp_path.iterdir()) == []
+
+
+def test_fetcher_rejects_gzipped_html(tmp_path):
+    """A gzip-COMPRESSED error page passes the magic check but must still
+    be rejected: the decompressed head gets the same PDB-record test."""
+    import gzip as _gzip
+
+    from timed_design_tpu.io.fetch import fetch_pdb
+
+    def opener(url):
+        return _gzip.compress(b"<html>Too many requests</html>")
+
+    with pytest.raises(FileNotFoundError, match="no PDB records"):
+        fetch_pdb("9xyz", tmp_path, opener=opener)
+    assert list(tmp_path.iterdir()) == []

@@ -500,3 +500,91 @@ def test_loader_early_break_stops_producer(ubq_h5):
             break
         time.sleep(0.05)
     assert not extra, f"leaked threads: {extra}"
+
+
+def test_srb_counts_strip_all_state_suffixes():
+    """to_counts strips ANY trailing _<digits> state (the reference's
+    '"_0" in pdb' substring test left _1.._9 rows under chainless keys
+    like '1abc_1', inconsistent with state 0's '1abcA' — PARITY.md)."""
+    entries = [(f"1abc_{i}", "A", str(r), "ALA")
+               for i in range(3) for r in range(4)]
+    # a mid-string _0 is NOT a state suffix: the name stays whole
+    entries += [("ts_02x", "B", "1", "GLY")]
+    counts = dict(DatasetMap(entries=entries).to_counts())
+    assert counts == {"1abcA": 12, "ts_02x": 1}
+
+
+def test_consensus_groups_per_chain():
+    """Multi-chain NMR: states consense PER CHAIN (the reference's
+    split('_')[0] silently averaged chain A's and chain B's matrices
+    together); single-chain structures keep the reference's bare-base
+    output key."""
+    from timed_design_tpu.io import extract_sequences
+
+    counts = [("2dimA", 4), ("2dimB", 4)]  # placeholder; rebuilt below
+    # two states x two chains, 4 residues each; chain A peaked on class 0,
+    # chain B on class 1 — a cross-chain merge would blur both
+    counts = [("2dim_0A", 4), ("2dim_0B", 4), ("2dim_1A", 4), ("2dim_1B", 4),
+              ("3soloA", 2)]
+    n = sum(c for _, c in counts)
+    P = np.zeros((n, 20), np.float32)
+    P[0:4, 0] = 1.0    # _0A
+    P[4:8, 1] = 1.0    # _0B
+    P[8:12, 0] = 1.0   # _1A
+    P[12:16, 1] = 1.0  # _1B
+    P[16:18, 2] = 1.0  # 3soloA
+    res = extract_sequences(DatasetMap(counts=counts), P, is_consensus=True)
+    assert set(res.pdb_to_consensus) == {"2dimA", "2dimB", "3soloA"}
+    assert res.pdb_to_consensus["2dimA"] == "AAAA"  # class 0 = A
+    assert res.pdb_to_consensus["2dimB"] == "CCCC"  # class 1 = C
+    np.testing.assert_array_equal(
+        res.pdb_to_consensus_prob["2dimA"], P[0:4]
+    )
+
+
+def test_convert_to_flat_preserves_soft_labels(tmp_path, ubq_h5):
+    """Float (soft) encoded_residue attrs survive tree->flat conversion —
+    an int8 cast would truncate every fractional value to 0."""
+    import shutil
+
+    import h5py
+
+    from timed_design_tpu.io.h5frames import convert_to_flat
+
+    src = tmp_path / "soft.hdf5"
+    shutil.copy(ubq_h5, src)
+    soft = np.full(20, 0.05, np.float32)
+    with h5py.File(src, "r+") as f:
+        pdb = next(iter(f))
+        chain = next(iter(f[pdb]))
+        rid = next(iter(f[pdb][chain]))
+        f[pdb][chain][rid].attrs["encoded_residue"] = soft
+    dst = convert_to_flat(src, tmp_path / "soft_flat.hdf5")
+    with h5py.File(dst, "r") as f:
+        labels = f["labels"][()]
+    assert labels.dtype == np.float32
+    np.testing.assert_allclose(labels[0], soft, atol=1e-7)
+    # the rest stay one-hot
+    assert (labels[1:].sum(1) == 1).all()
+
+
+def test_flat_blacklist_warns_like_tree(tmp_path, ubq_flat_h5):
+    """Blacklist removals on a FLAT dataset emit the same per-pdb warning
+    the tree branch does (observability must not depend on file layout)."""
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="benchmark set; removed"):
+        dmap, _ = create_flat_dataset_map(
+            ubq_flat_h5, ["1ubq"], remove_blacklist_silently=True
+        )
+    assert dmap.entries == []
+
+
+def test_loader_prefetch_zero_is_bounded(ubq_h5):
+    """prefetch=0 must still iterate correctly — and means 'minimal
+    readahead', not the stdlib Queue(0)='unbounded' footgun that would
+    buffer the whole dataset on host."""
+    dmap, _ = create_flat_dataset_map(ubq_h5)
+    loader = FrameBatchLoader(ubq_h5, dmap, batch_size=32, prefetch=0)
+    batches = list(loader)
+    assert sum(b[2] for b in batches) == 76

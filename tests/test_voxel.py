@@ -350,3 +350,39 @@ def test_gaussian_convention_insensitivity():
     pb = np.asarray(fwd(variables, jnp.asarray(fp)))
     assert (pa.argmax(1) == pb.argmax(1)).all()
     assert np.abs(pa - pb).max() < 1e-4  # measured <= 2.3e-5 across models
+
+
+def test_boolean_property_clamp_is_symmetric():
+    """Boolean mode with a charge codec: stacked +1 contributions saturate
+    at +1 AND stacked -1 contributions saturate at -1 (an occupancy-style
+    min() alone would cap only the positive side)."""
+    import numpy as np
+
+    from timed_design_tpu.voxel.frames import FrameAtoms
+    from timed_design_tpu.voxel.voxelize import voxelize_frame_atoms
+
+    # two atoms at the exact frame center, parents +1; two parents -1,
+    # one residue per sign
+    def fa_for(prop):
+        return FrameAtoms(
+            atoms_xyz=np.zeros((2, 3), np.float32),
+            atom_channel=np.zeros(2, np.int32),
+            atom_sigma=np.full(2, 1.7, np.float32),
+            atom_prop=np.full(2, prop, np.float32),
+            ca=np.zeros((1, 3), np.float32),
+            rot=np.eye(3, dtype=np.float32)[None],
+            valid=np.ones(1, bool),
+            labels=["ALA"],
+            chain_ids=["A"],
+            residue_ids=["1"],
+        )
+
+    from timed_design_tpu.voxel import Codec
+
+    codec = Codec.from_string("CQ")
+    pos = np.asarray(voxelize_frame_atoms(fa_for(+1.0), codec, gaussian=False))
+    neg = np.asarray(voxelize_frame_atoms(fa_for(-1.0), codec, gaussian=False))
+    assert pos[..., 1].max() == 1.0
+    assert neg[..., 1].min() == -1.0
+    # occupancy saturates too
+    assert pos[..., 0].max() == 1.0

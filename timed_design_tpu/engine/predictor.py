@@ -290,6 +290,16 @@ def load_dataset_and_predict(
     filter_list = get_pdb_keys_to_filter(blacklist) if blacklist else []
 
     with timer.phase("datasetmap"):
+        dataset_map_path = Path(dataset_map_path)
+        if (
+            not dataset_map_path.exists()
+            and not dataset_map_path.is_absolute()
+            and (path_to_output / dataset_map_path).exists()
+        ):
+            # a previous run with this path_to_output saved the generated
+            # map THERE (below) — a CWD-relative default must find it again
+            # instead of regenerating forever
+            dataset_map_path = path_to_output / dataset_map_path
         if Path(dataset_map_path).exists():
             # the engine needs the per-residue ("old") format for frame
             # lookup; an SRB/new-format map would die deep in the parser

@@ -46,14 +46,19 @@ class DatasetMap:
         """Collapse per-residue entries into SRB chain counts.
 
         Mirrors convert_dataset_map_for_srb (utils.py:533-566): NMR state
-        suffix ``_0`` stripped, chain appended to 4-letter pdb codes.
+        suffix stripped, chain appended to 4-letter pdb codes. The
+        reference strips with a ``"_0" in pdb`` substring test, which (a)
+        leaves states ``_1.._9`` unstripped — their rows land under keys
+        like ``1abc_1`` with no chain, inconsistent with state 0's
+        ``1abcA`` — and (b) truncates unrelated names containing ``_0``
+        mid-string. Fixed here to a trailing ``_<digits>`` strip, the same
+        rule split_dataset_map uses (PARITY.md §Deviations).
         """
         if not self.is_old:
             return list(self.counts)
         count_dict: dict[str, int] = {}
         for pdb, chain, _, _ in self.entries:
-            if "_0" in pdb:
-                pdb = pdb.split("_0")[0]
+            pdb = _re.sub(r"_\d+$", "", pdb)
             if len(pdb) == 4:
                 pdb += chain
             count_dict[pdb] = count_dict.get(pdb, 0) + 1

@@ -93,15 +93,18 @@ def extract_sequences(
     pdb_to_real_sequence: dict[str, str] = {}
 
     if dmap.is_old:
-        keys = np.array([e[0] + e[1] for e in dmap.entries])
         reals = [AA3_TO_AA1.get(e[3], "X") for e in dmap.entries]
-        for key in dict.fromkeys(keys):  # preserve first-seen order
-            sel = keys == key
-            pdb_to_probability[key] = P[sel]
-            pdb_to_sequence[key] = "".join(letters[max_idx[sel]])
-            pdb_to_real_sequence[key] = "".join(
-                r for r, m in zip(reals, sel) if m
-            )
+        # one pass building row indices per key (first-seen order) — a
+        # full-array `keys == key` scan per structure is O(S*R) and costs
+        # minutes at benchmark scale (10k structures x millions of rows)
+        idx_by_key: dict[str, list[int]] = {}
+        for i, e in enumerate(dmap.entries):
+            idx_by_key.setdefault(e[0] + e[1], []).append(i)
+        for key, rows in idx_by_key.items():
+            idx = np.asarray(rows)
+            pdb_to_probability[key] = P[idx]
+            pdb_to_sequence[key] = "".join(letters[max_idx[idx]])
+            pdb_to_real_sequence[key] = "".join(reals[i] for i in rows)
     else:
         offset = 0
         for pdb_chain, count in dmap.counts:
@@ -116,11 +119,31 @@ def extract_sequences(
 
     # NMR consensus: running pairwise average over states sharing a base code
     # (reference utils.py:694-713 — including its (prev+cur)/2 weighting).
-    by_base: dict[str, list[np.ndarray]] = {}
+    # Grouping FIX vs the reference: its `pdb_chain.split("_")[0]` drops the
+    # chain together with the state suffix, so a multi-chain NMR structure
+    # (keys 1abc_0A, 1abc_0B, ...) silently averages DIFFERENT chains into
+    # one "consensus" (equal lengths) or crashes (unequal). Here states
+    # group per (base, chain); the emitted key collapses to the bare base
+    # exactly when one chain exists — byte-identical to the reference in
+    # every case the reference handles correctly (PARITY.md §Deviations).
+    import re as _re
+
+    def _base_chain(key: str) -> tuple[str, str]:
+        m = _re.match(r"^(.*?)_\d+(.*)$", key)
+        return (m.group(1), m.group(2)) if m else (key, "")
+
+    by_group: dict[tuple[str, str], list[np.ndarray]] = {}
     for pdb_chain in pdb_to_sequence:
-        by_base.setdefault(pdb_chain.split("_")[0], []).append(
+        by_group.setdefault(_base_chain(pdb_chain), []).append(
             np.array(pdb_to_probability[pdb_chain])
         )
+    chains_per_base: dict[str, set[str]] = {}
+    for base, chain in by_group:
+        chains_per_base.setdefault(base, set()).add(chain)
+    by_base = {
+        (base if len(chains_per_base[base]) == 1 else base + chain): probs
+        for (base, chain), probs in by_group.items()
+    }
     pdb_to_consensus_prob = {
         base: consensus_running_average(probs)
         for base, probs in by_base.items()

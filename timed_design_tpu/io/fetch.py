@@ -78,6 +78,20 @@ def fetch_pdb(
             if not data.startswith(GZIP_MAGIC):
                 last_err = ValueError(f"{url}: response is not gzip data")
                 continue
+            # content-validate the DECOMPRESSED head too: a proxy error
+            # page served gzip-compressed passes the magic check but would
+            # poison the mirror just the same
+            import gzip as _gzip
+            import io as _io
+
+            try:
+                head = _gzip.GzipFile(fileobj=_io.BytesIO(data)).read(65536)
+            except OSError:
+                last_err = ValueError(f"{url}: corrupt gzip data")
+                continue
+            if not _looks_like_pdb(head):
+                last_err = ValueError(f"{url}: response has no PDB records")
+                continue
         elif not _looks_like_pdb(data):
             last_err = ValueError(f"{url}: response has no PDB records")
             continue

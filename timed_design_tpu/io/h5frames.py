@@ -114,10 +114,21 @@ def create_flat_dataset_map(
                           "index_label")
             ]
             filtered_any = False
+            warned_codes: set[str] = set()
             for pdb_code, chain, rid, label in zip(*cols):
                 if pdb_code[:4] in filter_list:
                     if remove_blacklist_silently:
                         filtered_any = True
+                        # same observability as the tree branch below: the
+                        # user verifying their blacklist took effect must
+                        # see it regardless of file layout (once per pdb —
+                        # flat rows are per-residue)
+                        if pdb_code not in warned_codes:
+                            warned_codes.add(pdb_code)
+                            warnings.warn(
+                                f"PDB code {pdb_code} was found in "
+                                f"benchmark set; removed."
+                            )
                         continue
                     raise ValueError(f"PDB code {pdb_code} is blacklisted.")
                 if label not in AA3:
@@ -389,7 +400,10 @@ class FrameBatchLoader:
         return X, y, n
 
     def __iter__(self):
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        # max(1, ...): stdlib Queue(maxsize=0) means UNBOUNDED — a user
+        # asking for prefetch=0 ("no readahead") would instead have the
+        # producer thread buffer the whole dataset onto the host
+        q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
         stop = object()
         cancel = threading.Event()
 
@@ -476,7 +490,21 @@ def convert_to_flat(
             "frames", shape=(n, *dims), dtype=np.float32,
             chunks=(min(chunk_rows, n), *dims),
         )
-        labels = fout.create_dataset("labels", shape=(n, 20), dtype=np.int8)
+        # label dtype follows the SOURCE: the tree reader preserves float
+        # (soft/probability) `encoded_residue` attrs (see _read_batch), so
+        # the flat copy must too — an unconditional int8 cast would
+        # truncate every fractional value to 0 and silently zero the labels
+        label_dtype = np.int8
+        for pdb, chain, rid, _ in dmap.entries:
+            enc = fin[pdb][chain][rid].attrs.get("encoded_residue")
+            if enc is not None and not np.issubdtype(
+                np.asarray(enc).dtype, np.integer
+            ):
+                arr = np.asarray(enc, np.float64)
+                if not np.array_equal(arr, np.round(arr)):
+                    label_dtype = np.float32
+                    break
+        labels = fout.create_dataset("labels", shape=(n, 20), dtype=label_dtype)
         str_t = h5py.string_dtype()
         cols = {
             name: fout.create_dataset(name, shape=(n,), dtype=str_t)
@@ -488,7 +516,7 @@ def convert_to_flat(
             frames[i] = node[()]
             enc = node.attrs.get("encoded_residue")
             if enc is not None:
-                labels[i] = np.asarray(enc, np.int8)
+                labels[i] = np.asarray(enc, label_dtype)
             else:
                 labels[i, AA3_TO_INT[label]] = 1
             cols["index_pdb"][i] = pdb

@@ -124,5 +124,12 @@ def voxelize_matmul(
     )
     frames = frames.reshape(n_chunks * chunk, V, V, V, C)[:R]
     if not gaussian:
+        # symmetric clamp for the signed property channel — same rule as
+        # the scatter path (voxel/voxelize.py): occupancy saturates at 1,
+        # property at ±1
         frames = jnp.minimum(frames, 1.0)
+        if prop_channel >= 0:
+            frames = frames.at[..., prop_channel].set(
+                jnp.maximum(frames[..., prop_channel], -1.0)
+            )
     return frames

@@ -170,18 +170,6 @@ class Structure:
         return "\n".join(lines) + "\n"
 
 
-def _element_from_record(line: str, atom_name: str) -> str:
-    el = line[76:78].strip() if len(line) >= 78 else ""
-    if el:
-        return el.capitalize() if len(el) > 1 else el.upper()
-    # Infer from atom name: first non-digit character of the justified name.
-    stripped = atom_name.strip()
-    for ch in stripped:
-        if ch.isalpha():
-            return ch.upper()
-    return "C"
-
-
 def _scan_python(text: str) -> dict[str, np.ndarray]:
     """Pure-Python scanner producing the same field arrays as the native
     C++ scanner (native/pdbscan.cpp) — reference implementation/fallback."""

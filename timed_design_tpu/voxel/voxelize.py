@@ -141,7 +141,17 @@ def voxelize(
     )
     frames = frames.reshape(n_chunks * chunk, V, V, V, C)[:R]
     if not gaussian:
+        # boolean mode: occupancy saturates at 1 (presence, not counts —
+        # spec §3). The property channel carries SIGNED values, so the
+        # clamp must be symmetric: min() alone would cap two +1-charge
+        # collisions at 1 while letting two -1 collisions stack to -2
+        # ([RECONSTRUCTED] corner — the reference never voxelizes
+        # boolean+property; released property models are gaussian-trained)
         frames = jnp.minimum(frames, 1.0)
+        if prop_channel >= 0:
+            frames = frames.at[..., prop_channel].set(
+                jnp.maximum(frames[..., prop_channel], -1.0)
+            )
     return frames
 
 
