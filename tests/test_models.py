@@ -86,3 +86,34 @@ def test_bn_folding_parity():
     folded, n_blocks = fold_timed_bn(variables["params"], bs)
     out = np.asarray(timed_inference_apply(folded, x, n_blocks))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_load_model_missing_weights_path_errors(tmp_path):
+    """A Keras-looking path that does not exist must FileNotFoundError —
+    not fall through to a misleading 'Unknown model' registry KeyError."""
+    from timed_design_tpu.models import load_model
+
+    with pytest.raises(FileNotFoundError, match="weights file"):
+        load_model(tmp_path / "typo.h5")
+    with pytest.raises(FileNotFoundError, match="weights file"):
+        load_model(str(tmp_path / "typo.hdf5"))
+
+
+def test_prodconn_bf16_head_is_fp32():
+    """Under compute_dtype=bfloat16 the class head still emits fp32
+    logits that are NOT bf16-quantized (a bf16 Dense would round them
+    before softmax)."""
+    import jax
+    import jax.numpy as jnp
+
+    from timed_design_tpu.models import prodconn
+
+    m = prodconn(compute_dtype=jnp.bfloat16)
+    x = np.random.default_rng(0).random((2, 21, 21, 21, 5)).astype(np.float32)
+    v = m.init(jax.random.key(0), x[:1])
+    logits = m.apply(v, x, logits=True)
+    assert logits.dtype == jnp.float32
+    # fp32 logits must carry sub-bf16 precision (bf16 has 8 mantissa bits;
+    # a value round-tripped through bf16 would equal its own cast)
+    roundtrip = np.asarray(logits).astype(jnp.bfloat16).astype(np.float32)
+    assert not np.array_equal(np.asarray(logits), roundtrip)

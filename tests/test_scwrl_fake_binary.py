@@ -93,3 +93,30 @@ def test_analyse_with_scwrl_error_collection(fake_scwrl, ubq_pdb_gz, tmp_path):
         scwrl_path=fake_scwrl,
     )
     assert "already exists" in errors2["1ubqA"] and not scores2
+
+
+def test_sequence_file_case_preserved(fake_scwrl, ubq_pdb_gz, tmp_path,
+                                      monkeypatch):
+    """The -s file must carry the sequence VERBATIM: SCWRL4 treats
+    lower-case letters as 'keep this side chain fixed', so lower-casing a
+    design would silently skip the repack. Also: -h (omit hydrogens) is
+    passed, matching the reference's default."""
+    import stat as _stat
+
+    capture = tmp_path / "capture"
+    recorder = tmp_path / "Scwrl4rec"
+    recorder.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, shutil\n"
+        "args = dict(zip(sys.argv[1::2], sys.argv[2::2]))\n"
+        f"shutil.copy(args['-s'], {str(capture)!r})\n"
+        f"open({str(capture)!r} + '.argv', 'w').write(' '.join(sys.argv[1:]))\n"
+        "shutil.copy(args['-i'], args['-o'])\n"
+        "print('Total minimal energy of the graph = -1.0')\n"
+    )
+    recorder.chmod(recorder.stat().st_mode | _stat.S_IEXEC)
+    s = load_pdb(ubq_pdb_gz)
+    seq = "MKYW" + "A" * 72
+    pack_side_chains_scwrl(s, [seq], scwrl_path=recorder)
+    assert capture.read_text() == seq  # verbatim: no .lower(), no newlines
+    assert " -h" in capture.with_suffix(".argv").read_text()

@@ -752,3 +752,22 @@ def test_fit_early_stopping_nan_divergence(monkeypatch, capsys):
         jax.tree_util.tree_leaves(calls[-1]),
     ):
         np.testing.assert_array_equal(a, b)
+
+
+def test_evaluate_empty_loader_returns_nan():
+    """An empty val loader must not report a perfect val_loss=0.0 (fit()
+    would pin 'best' to the bogus score and early stopping never fires)."""
+    import math
+
+    from timed_design_tpu.train.train import evaluate
+
+    module = timed(filters=(4,))
+    out = evaluate(module, [], params={}, batch_stats={})
+    assert out["n"] == 0 and math.isnan(out["loss"])
+
+
+def test_make_mesh_too_few_devices_errors():
+    from timed_design_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_model=100)

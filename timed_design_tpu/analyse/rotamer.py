@@ -157,6 +157,7 @@ def calculate_rotamer_metrics(
 
     n = len(rot_categories)
     labels = list(rot_categories)
+    prec, rec = precision_recall_f1(y_true, y_argmax, n)[:2]
     metrics = {
         "auc_ovo": roc_auc_ovo_macro(y_true, y_pred),
         "auc_ovr": roc_auc_ovr_macro(y_true, y_pred),
@@ -166,11 +167,16 @@ def calculate_rotamer_metrics(
         "accuracy_3": top_k_accuracy(y_true, y_pred, 3),
         "accuracy_4": top_k_accuracy(y_true, y_pred, 4),
         "accuracy_5": top_k_accuracy(y_true, y_pred, 5),
-        "precision": float(precision_recall_f1(y_true, y_argmax, n)[0].mean()),
-        "recall": float(precision_recall_f1(y_true, y_argmax, n)[1].mean()),
+        "precision": float(prec.mean()),
+        "recall": float(rec.mean()),
         "bias": prediction_bias(y_true, y_argmax, labels),
     }
     unweighted_cm = confusion(y_true, y_argmax, n, normalize="all")
+    # NOTE: "weighted" here means weighted BY class frequency (count/total),
+    # i.e. common classes get amplified quadratically — not sklearn's
+    # inverse-frequency 'balanced' convention. That is the reference's own
+    # definition (analyse_utils.py:874-891) and it defines the published CM
+    # panels, so it is kept verbatim.
     weights = np.bincount(y_true, minlength=n).astype(float)
     weights /= max(weights.sum(), 1e-12)
     weighted_cm = confusion(

@@ -47,12 +47,21 @@ def pack_side_chains_scwrl(
     sequences: t.Sequence[str],
     scwrl_path: t.Optional[Path] = None,
     rigid_rotamer_model: bool = False,
+    hydrogens: bool = False,
 ) -> tuple[Structure, float]:
     """Pack ``sequences`` (one per chain) onto the backbone with SCWRL4.
 
     Returns (packed structure, scwrl score). Reference behavior
     (scwrl_utils.py:52-120): write backbone pdb + sequence file, run SCWRL,
     parse output pdb + score.
+
+    The sequence file is written VERBATIM, concatenated across chains with
+    no case change (scwrl_utils.py:104 writes the string as passed): SCWRL4
+    interprets LOWER-case letters as "keep this side chain fixed in its
+    input conformation", so lower-casing a designed sequence would make
+    SCWRL silently skip the repack and score the unmodified input.
+    ``hydrogens=False`` passes ``-h`` (omit hydrogens), the reference's
+    default (scwrl_utils.py:109-111).
     """
     exe = find_scwrl(scwrl_path)
     with tempfile.TemporaryDirectory() as td:
@@ -61,10 +70,12 @@ def pack_side_chains_scwrl(
         seq_file = td / "seq.txt"
         out_pdb = td / "out.pdb"
         in_pdb.write_text(structure.to_pdb())
-        seq_file.write_text("".join(s.lower() + "\n" for s in sequences))
+        seq_file.write_text("".join(sequences))
         cmd = [str(exe), "-i", str(in_pdb), "-o", str(out_pdb), "-s", str(seq_file)]
         if rigid_rotamer_model:
             cmd.append("-v")
+        if not hydrogens:
+            cmd.append("-h")
         proc = subprocess.run(cmd, capture_output=True, text=True)
         score = parse_scwrl_score(proc.stdout)
         if not out_pdb.exists():

@@ -81,6 +81,12 @@ def main(argv=None) -> None:
             f"validation split: {len(val_map.entries)} residues held out "
             f"({len(train_map.entries)} train) at the structure level"
         )
+        if not val_map.entries:
+            raise SystemExit(
+                f"--val_fraction {args.val_fraction} holds out 0 structures "
+                f"of this dataset — raise it (or drop it to train without "
+                f"validation)"
+            )
         val_loader = FrameBatchLoader(
             dataset, val_map, batch_size=args.batch_size
         )

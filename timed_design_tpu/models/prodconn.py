@@ -37,8 +37,10 @@ class ProDCoNN(nn.Module):
         x = nn.relu(nn.Dense(128, **dt)(x))
         if train:
             x = nn.Dropout(0.2, deterministic=False)(x, rng=self.make_rng("dropout"))
-        x = nn.Dense(self.n_classes, **dt)(x.astype(jnp.float32))
-        x = x.astype(jnp.float32)
+        # the class head runs in fp32 regardless of compute_dtype: **dt
+        # here would cast the input straight back to bf16 and quantize the
+        # logits before softmax (param_dtype is fp32 throughout the zoo)
+        x = nn.Dense(self.n_classes, dtype=jnp.float32)(x.astype(jnp.float32))
         return x if logits else nn.softmax(x, axis=-1)
 
 

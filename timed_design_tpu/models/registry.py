@@ -66,9 +66,14 @@ def get_model_spec(name: str) -> ModelSpec:
 
 
 def load_model(path_or_name: t.Union[str, Path], compute_dtype=None):
-    """Resolve a model: `.h5` path -> imported Keras graph; name -> Flax spec."""
+    """Resolve a model: `.h5`/`.hdf5` path -> imported Keras graph; name ->
+    Flax spec. A Keras-looking path that does not exist raises
+    FileNotFoundError — falling through to registry lookup would turn a
+    typo'd weights path into a misleading 'Unknown model' KeyError."""
     p = Path(path_or_name)
-    if p.suffix == ".h5" and p.exists():
+    if p.suffix.lower() in (".h5", ".hdf5"):
+        if not p.exists():
+            raise FileNotFoundError(f"model weights file not found: {p}")
         from .keras_import import load_keras_model
         import jax.numpy as jnp
 

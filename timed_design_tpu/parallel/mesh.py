@@ -30,6 +30,14 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1 or n_data * n_model > len(devices):
+        # an empty (0, n_model) mesh reshapes fine but crashes far away
+        # (ZeroDivisionError on mesh.shape['data'] in fit/evaluate)
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model) needs "
+            f"{max(n_data, 1) * n_model} devices; only {len(devices)} "
+            f"available"
+        )
     use = devices[: n_data * n_model]
     arr = np.array(use).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))

@@ -205,7 +205,13 @@ def evaluate(
         out = step_fn(params, batch_stats, x_dev, y_dev, jnp.int32(n_valid))
         for k in totals:
             totals[k] += float(out[k])
-    n = max(totals["n"], 1.0)
+    if totals["n"] == 0:
+        # an empty loader must not report a perfect val_loss=0.0 — fit()'s
+        # early stopping would pin "best" to a bogus score forever. NaN
+        # never compares as an improvement (see the NaN-divergence path).
+        return {"loss": float("nan"), "top1": float("nan"),
+                "top3": float("nan"), "n": 0}
+    n = totals["n"]
     return {
         "loss": totals["loss_sum"] / n,
         "top1": totals["top1_sum"] / n,
@@ -373,9 +379,11 @@ def fit(
         lr_schedule, learning_rate, (n_batches or 1) * epochs, warmup_steps
     )
     optimizer = optax.adam(lr)
-    rng = jax.random.key(seed)
+    # distinct keys for init and the per-step dropout stream — passing one
+    # key to both would correlate the init draw with the dropout masks
+    init_rng, rng = jax.random.split(jax.random.key(seed))
     state, _ = init_train_state(
-        module, rng, (1, 21, 21, 21, input_channels), optimizer, mesh,
+        module, init_rng, (1, 21, 21, 21, input_channels), optimizer, mesh,
         init_weights=init_weights,
     )
     step_fn = jax.jit(make_train_step(module, optimizer, class_weights))
