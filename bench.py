@@ -290,9 +290,48 @@ def _run_with_retry(fn, attempts: int = 3) -> None:
             time.sleep(10)
 
 
-if __name__ == "__main__":
+def _watchdog_reexec(per_attempt_s: int = 1500, attempts: int = 3) -> int:
+    """Run the real bench in a child process with a hard timeout.
+
+    The tunneled transport has congestion windows where the FIRST device op
+    blocks for >25 min (a 256x256 matmul measured >1500 s on 2026-08-17);
+    exceptions retry fine (_run_with_retry) but a HANG would otherwise
+    stall the driver's round-end bench indefinitely. The child inherits
+    stdout, and JSON lines print only after a fully successful run, so a
+    killed child cannot emit partial metrics."""
+    import os
+    import subprocess
     import sys
 
+    per_attempt_s = int(os.environ.get("_TD_BENCH_TIMEOUT", per_attempt_s))
+    env = dict(os.environ, _TD_BENCH_INNER="1")
+    for attempt in range(attempts):
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+                env=env, timeout=per_attempt_s,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt {attempt + 1} timed out after "
+                  f"{per_attempt_s}s (tunnel congestion?); retrying",
+                  file=sys.stderr)
+            continue
+        if rc == 0:
+            return 0
+        print(f"# bench attempt {attempt + 1} exited rc={rc}",
+              file=sys.stderr)
+    print("# bench FAILED: all attempts hung or errored — likely a tunnel "
+          "congestion window, not a code regression; re-run when the "
+          "transport recovers", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    if os.environ.get("_TD_BENCH_INNER") != "1":
+        sys.exit(_watchdog_reexec())
     if "--e2e" in sys.argv:
         _run_with_retry(bench_e2e)
     else:
