@@ -87,3 +87,51 @@ def test_report_cli_from_saved_artifacts(tmp_path):
     text = (tmp_path / "TIMED_report.html").read_text()
     assert text.count("data:image/png;base64,") == 3
     assert "1abcA" in text
+
+
+def test_seq_block_without_native_still_renders_design():
+    """A chain with no native sequence must still show the designed
+    sequence (a zip over the empty native blanked it entirely)."""
+    from timed_design_tpu.report import _seq_block
+
+    html_out = _seq_block("MKYW", "")
+    assert "M" in html_out and "K" in html_out and "W" in html_out
+    assert "Native sequence" not in html_out
+    # shorter native: tail positions render as differing, never truncated
+    html_out = _seq_block("MKYW", "MK")
+    assert html_out.count('class="diff"') == 2
+
+
+def test_report_length_mismatch_degrades_not_crashes():
+    """native/designed length mismatch on one chain must degrade that
+    chain's identity/similarity to NaN, not kill the whole render."""
+    import numpy as np
+
+    from timed_design_tpu.report import render_design_report
+
+    P = np.full((4, 20), 1 / 20.0)
+    doc = render_design_report(
+        {"aA": "MKYW"}, {"aA": "MK"}, {"aA": P}, model_name="T"
+    )
+    assert "identity nan" in doc or "nan%" in doc or "nan" in doc
+
+
+def test_report_cli_rejects_flag_shape_mismatch(tmp_path):
+    """--predict_rotamers on a 20-column matrix must error, not decode
+    {A,C,D,E} garbage."""
+    import numpy as np
+    import pytest
+
+    from timed_design_tpu.cli.report import main
+    from timed_design_tpu.io import save_prediction_csv, save_datasetmap
+    from timed_design_tpu.io.datasetmap import DatasetMap
+
+    P = np.full((2, 20), 1 / 20.0)
+    csv = save_prediction_csv(P, "T", tmp_path)
+    dmap = DatasetMap(entries=[("1abc", "A", "1", "ALA"),
+                               ("1abc", "A", "2", "GLY")])
+    dm = save_datasetmap(dmap, tmp_path / "dm.txt")
+    with pytest.raises(SystemExit, match="338"):
+        main(["--path_to_pred_matrix", str(csv),
+              "--path_to_datasetmap", str(dm), "--predict_rotamers",
+              "--path_to_output", str(tmp_path)])

@@ -363,3 +363,21 @@ def test_empty_model_name_gets_400(server_url, ubq_pdb_gz):
     payload = json.dumps({"pdb": pdb_text, "model": None}).encode()
     status, body = _post(server_url + "/design", payload)
     assert status == 200 and body["model"] == "TIMED"
+
+
+def test_content_length_hardening(server_url):
+    """Malformed/negative Content-Length must be a 400 (not a dropped
+    connection or a hung handler thread); an absurd size is a 413."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(server_url)
+    for value, want in (("abc", 400), ("-1", 400),
+                        (str(10 * 1024 ** 3), 413)):
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=60)
+        conn.putrequest("POST", "/design", skip_host=False)
+        conn.putheader("Content-Length", value)
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == want, (value, resp.status)
+        conn.close()

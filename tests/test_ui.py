@@ -369,3 +369,41 @@ def test_ui_pdb_code_fetch(monkeypatch, ubq, tmp_path, models_dir):
         assert (mirror / "ub" / "1ubq.pdb1.gz").exists()
     finally:
         server.shutdown()
+
+
+def test_aligned_design_outputs_ragged_states():
+    """NMR states that drop DIFFERENT residues (incomplete backbones per
+    state) align on the common set: consensus-ready matrices of equal
+    length plus a frame-derived residue map — a structure-derived map
+    would shift every label after the first dropped residue."""
+    import numpy as np
+
+    from timed_design_tpu.ui import _aligned_design_outputs
+    from timed_design_tpu.voxel.frames import FrameAtoms
+
+    def fa_for(rids, labels):
+        n = len(rids)
+        return FrameAtoms(
+            atoms_xyz=np.zeros((1, 3), np.float32),
+            atom_channel=np.zeros(1, np.int32),
+            atom_sigma=np.ones(1, np.float32),
+            atom_prop=np.zeros(1, np.float32),
+            ca=np.zeros((n, 3), np.float32),
+            rot=np.tile(np.eye(3, dtype=np.float32), (n, 1, 1)),
+            valid=np.ones(n, bool),
+            labels=labels,
+            chain_ids=["A"] * n,
+            residue_ids=rids,
+        )
+
+    # state 0 drops residue '3'; state 1 drops residue '1'
+    p0 = np.arange(3 * 20, dtype=np.float32).reshape(3, 20)
+    p1 = np.arange(3 * 20, dtype=np.float32).reshape(3, 20) + 100
+    s0 = (p0, fa_for(["1", "2", "4"], ["MET", "GLN", "PHE"]))
+    s1 = (p1, fa_for(["2", "3", "4"], ["GLN", "ILE", "PHE"]))
+    aligned, native, rmap = _aligned_design_outputs([s0, s1])
+    assert [a.shape for a in aligned] == [(2, 20), (2, 20)]
+    np.testing.assert_array_equal(aligned[0], p0[[1, 2]])  # rids 2,4
+    np.testing.assert_array_equal(aligned[1], p1[[0, 2]])
+    assert native == "QF"
+    assert rmap == ["Q2 (Chain A)", "F4 (Chain A)"]

@@ -40,7 +40,14 @@ def main(argv=None) -> None:
 
     matrix_path = Path(args.path_to_pred_matrix)
     P = load_prediction_matrix(matrix_path)
-    rotamer = args.predict_rotamers or P.shape[1] == 338
+    if args.predict_rotamers and P.shape[1] != 338:
+        # forcing 338 categories onto 20-class argmax indices would decode
+        # every sequence into {A,C,D,E} garbage with no error
+        raise SystemExit(
+            f"--predict_rotamers given but {matrix_path.name} has "
+            f"{P.shape[1]} columns (a rotamer matrix has 338)"
+        )
+    rotamer = P.shape[1] == 338
     dmap = load_datasetmap(
         Path(args.path_to_datasetmap), is_old=args.support_old_datasetmap
     )

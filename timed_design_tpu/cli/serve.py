@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 MAX_SAMPLES_PER_REQUEST = 10_000  # one request must not OOM the device
+# largest accepted request body; generous for PDBs (a 50k-atom structure is
+# ~4 MB of text) while bounding request-driven host memory
+MAX_BODY_BYTES = 64 * 1024 * 1024
 
 # matplotlib's pyplot state machine (the Gcf figure registry the report
 # renderer goes through) is NOT thread-safe; ThreadingHTTPServer runs each
@@ -181,9 +184,11 @@ class ServerMetrics:
         return "\n".join(lines) + "\n"
 
 
-def _design_payload(designer, pdb_text: str, n_samples: int = 0,
-                    temperature: float = 0.2, seed: int | None = None) -> dict:
-    """``designer``: CoalescingDesigner/SerialDesigner — its ``design``
+def _design_core(designer, pdb_text: str):
+    """The shared parse -> design -> decode pipeline behind /design and
+    /report: returns (probs, probs20, designed_seq, fa, timings).
+
+    ``designer``: CoalescingDesigner/SerialDesigner — its ``design``
     returns (probs, FrameAtoms, timings) and is safe from any thread."""
     from ..constants import AA1, compress_rotamer_probs
     from ..structure import parse_pdb_string
@@ -191,9 +196,17 @@ def _design_payload(designer, pdb_text: str, n_samples: int = 0,
     structure = parse_pdb_string(pdb_text, name="query")[0]
     probs, fa, timings = designer.design(structure)
     probs = np.asarray(probs)
-    rotamer = probs.shape[1] == 338
-    probs20 = compress_rotamer_probs(probs) if rotamer else probs
+    probs20 = (
+        compress_rotamer_probs(probs) if probs.shape[1] == 338 else probs
+    )
     seq = "".join(np.array(list(AA1))[np.asarray(probs20).argmax(1)])
+    return probs, np.asarray(probs20), seq, fa, timings
+
+
+def _design_payload(designer, pdb_text: str, n_samples: int = 0,
+                    temperature: float = 0.2, seed: int | None = None) -> dict:
+    probs, probs20, seq, fa, timings = _design_core(designer, pdb_text)
+    rotamer = probs.shape[1] == 338
     out = {
         "sequence": seq,
         "n_residues": len(seq),
@@ -234,19 +247,10 @@ def _report_document(designer, pdb_text: str, model_name: str) -> str:
 
     The native sequence comes from the uploaded structure's own residues —
     the same comparison the UI's output section draws (ui.py:328-531)."""
-    from ..constants import AA1, AA3_TO_AA1
+    from ..constants import AA3_TO_AA1
     from ..report import render_design_report
-    from ..structure import parse_pdb_string
 
-    import numpy as np
-
-    structure = parse_pdb_string(pdb_text, name="query")[0]
-    probs, fa, _ = designer.design(structure)
-    probs = np.asarray(probs)
-    from ..constants import compress_rotamer_probs
-
-    probs20 = compress_rotamer_probs(probs) if probs.shape[1] == 338 else probs
-    designed = "".join(np.array(list(AA1))[np.asarray(probs20).argmax(1)])
+    probs, _probs20, designed, fa, _ = _design_core(designer, pdb_text)
     native = "".join(AA3_TO_AA1.get(l, "X") for l in fa.labels)
     # one report section PER CHAIN — a multi-chain backbone rendered as one
     # section would silently mix chains' sequences/metrics under one title
@@ -344,7 +348,21 @@ def make_server(designer, host: str, port: int, model_name: str,
             if self.path not in ("/design", "/report"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send(400, {"error": "malformed Content-Length"})
+                return
+            if length < 0:
+                # rfile.read(-1) would block until the client closes,
+                # hanging this handler thread
+                self._send(400, {"error": "malformed Content-Length"})
+                return
+            if length > MAX_BODY_BYTES:
+                self._send(413, {
+                    "error": f"request body too large "
+                             f"({length} > {MAX_BODY_BYTES} bytes)"})
+                return
             try:
                 raw = self.rfile.read(length).decode()
             except UnicodeDecodeError:

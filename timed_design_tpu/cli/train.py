@@ -105,7 +105,17 @@ def main(argv=None) -> None:
         from ..constants import AA3_TO_INT
         from ..train import balanced_class_weights
 
-        labels = [AA3_TO_INT[e[3]] for e in dmap.entries]
+        # labels from an external (aposteriori) dataset can carry
+        # nonstandard residues; weight from the standard ones and say so
+        # rather than KeyError after the expensive map build
+        labels = [AA3_TO_INT[e[3]] for e in dmap.entries if e[3] in AA3_TO_INT]
+        skipped = len(dmap.entries) - len(labels)
+        if skipped:
+            print(f"class weights: skipped {skipped} residues with "
+                  f"nonstandard labels")
+        if not labels:
+            raise SystemExit("--class_weight balanced: no standard-residue "
+                             "labels in the training split")
         class_weights = balanced_class_weights(labels, spec.n_classes)
         lo, hi = float(class_weights[class_weights > 0].min()), float(
             class_weights.max()

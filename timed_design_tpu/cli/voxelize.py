@@ -12,6 +12,20 @@ from pathlib import Path
 from ..utils.config import VoxelizeConfig
 
 
+def _strict_bool(flag: str, value: str) -> bool:
+    """Parse the aposteriori-style 'True'/'False' flag values STRICTLY.
+
+    A permissive `value in ("true","1","yes")` maps every typo ('Ture',
+    'on', 'True ') to False — silently flipping the dataset encoding that
+    every downstream model depends on."""
+    v = value.strip().lower()
+    if v in ("true", "1", "yes"):
+        return True
+    if v in ("false", "0", "no"):
+        return False
+    raise SystemExit(f"{flag}: expected True/False, got {value!r}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Voxelize PDB structures into frames")
     p.add_argument("structures", type=str, help="PDB file or directory")
@@ -48,8 +62,8 @@ def main(argv=None) -> None:
         codec=args.atom_encoder,
         voxels_per_side=args.voxels_per_side,
         frame_edge_length=args.frame_edge_length,
-        gaussian=args.voxels_as_gaussian.lower() in ("true", "1", "yes"),
-        encode_cb=args.encode_cb.lower() in ("true", "1", "yes"),
+        gaussian=_strict_bool("--voxels-as-gaussian", args.voxels_as_gaussian),
+        encode_cb=_strict_bool("--encode-cb", args.encode_cb),
         voxelise_all_states=args.voxelise_all_states,
     )
     from ..voxel import make_frame_dataset

@@ -93,15 +93,24 @@ def _entropy_fig(entropy: np.ndarray, title: str):
 
 
 def _seq_block(designed: str, native: str) -> str:
-    """Designed sequence with positions differing from native highlighted."""
+    """Designed sequence with positions differing from native highlighted.
+
+    Iterates the DESIGNED sequence (zip over native would blank or
+    truncate the report's primary output whenever native is missing or
+    shorter); positions past the native's end count as differing."""
     marked = "".join(
-        f'<span class="diff">{html.escape(d)}</span>' if d != n else html.escape(d)
-        for d, n in zip(designed, native)
+        f'<span class="diff">{html.escape(d)}</span>'
+        if i >= len(native) or d != native[i]
+        else html.escape(d)
+        for i, d in enumerate(designed)
     )
-    return (
-        f"<h3>Designed sequence</h3><pre class='seq'>{marked}</pre>"
-        f"<h3>Native sequence</h3><pre class='seq'>{html.escape(native)}</pre>"
-    )
+    out = f"<h3>Designed sequence</h3><pre class='seq'>{marked}</pre>"
+    if native:
+        out += (
+            f"<h3>Native sequence</h3>"
+            f"<pre class='seq'>{html.escape(native)}</pre>"
+        )
+    return out
 
 
 def _metrics_table(native_seq: str, designed_seq: str) -> str:
@@ -167,11 +176,18 @@ def render_design_report(
         probs20 = (
             np.asarray(compress_rotamer_probs(probs)) if rotamer else probs
         )
+        # tolerate native/designed length mismatch (e.g. a stale datasetmap
+        # paired with a new CSV): degrade the two scores to NaN instead of
+        # killing the whole multi-chain render with a ValueError
+        comparable = native and len(native) == len(designed)
         identity = (
             float(np.mean([a == b for a, b in zip(designed, native)]))
-            if native else float("nan")
+            if comparable else float("nan")
         )
-        sim = sequence_similarity(native, designed) if native else float("nan")
+        sim = (
+            sequence_similarity(native, designed)
+            if comparable else float("nan")
+        )
         parts = [f"<h2>{html.escape(pdb)}</h2>"]
         parts.append(
             f"<p class='meta'>{len(designed)} residues &middot; "

@@ -87,6 +87,41 @@ def _nmr_consensus(per_state_probs: list[np.ndarray]) -> np.ndarray:
     return consensus_running_average(per_state_probs)
 
 
+def _aligned_design_outputs(per_state: list) -> tuple[list, str, list[str]]:
+    """Align per-state (probs, FrameAtoms) on the residues common to ALL
+    states and return (aligned_probs, native_seq, residue_map) built from
+    the FRAMES, not the raw structure.
+
+    Two real-input hazards this absorbs (same rule as the dataset path,
+    voxel/frames.py): residues with incomplete backbones are dropped as
+    frame centers — possibly different ones per NMR state — so (a) raw
+    per-state matrices can disagree in length (consensus would crash or
+    silently misalign rows), and (b) a structure-derived residue map would
+    shift every downstream label/overlay after the first dropped residue.
+    """
+    from .constants import AA3_TO_AA1
+
+    keysets = [
+        list(zip(fa.chain_ids, fa.residue_ids)) for _, fa in per_state
+    ]
+    common = set(keysets[0])
+    for ks in keysets[1:]:
+        common &= set(ks)
+    aligned = [
+        np.asarray(p)[[i for i, k in enumerate(ks) if k in common]]
+        for (p, _), ks in zip(per_state, keysets)
+    ]
+    fa0 = per_state[0][1]
+    idx0 = [i for i, k in enumerate(keysets[0]) if k in common]
+    native_seq = "".join(AA3_TO_AA1.get(fa0.labels[i], "X") for i in idx0)
+    residue_map = [
+        f"{AA3_TO_AA1.get(fa0.labels[i], 'X')}{fa0.residue_ids[i]} "
+        f"(Chain {fa0.chain_ids[i]})"
+        for i in idx0
+    ]
+    return aligned, native_seq, residue_map
+
+
 # --------------------------------------------------------------- sections
 
 
@@ -131,17 +166,38 @@ def _load_structures(cfg, args):
     all_states = cfg["nmr_all_states"]
     if cfg["uploaded"] is not None:
         data = cfg["uploaded"].read()
-        if cfg["uploaded"].name.endswith(".gz"):
-            import gzip
+        # memoize the parse on the raw bytes: every widget interaction
+        # reruns this script, and re-parsing a multi-MB NMR ensemble per
+        # click costs seconds of host time for an identical result
+        import hashlib
 
-            data = gzip.decompress(data)
-        states = parse_pdb_string(
-            data.decode(), name=cfg["uploaded"].name.split(".")[0],
-            all_states=all_states,
+        parse_key = (
+            f"parse::{hashlib.md5(data).hexdigest()}::{all_states}"
         )
+        pcache = st.session_state.setdefault("parse_cache", {})
+        if parse_key in pcache:
+            states = pcache[parse_key]
+        else:
+            if cfg["uploaded"].name.endswith(".gz"):
+                import gzip
+
+                data = gzip.decompress(data)
+            states = parse_pdb_string(
+                data.decode(), name=cfg["uploaded"].name.split(".")[0],
+                all_states=all_states,
+            )
+            while len(pcache) >= 4:
+                pcache.pop(next(iter(pcache)))
+            pcache[parse_key] = states
     elif cfg["pdb_code"] and args.path_to_pdb:
         base = Path(args.path_to_pdb)
-        hits = list(base.glob(f"**/{cfg['pdb_code']}*.pdb*"))
+        # sorted + assembly-first preference: raw glob order follows the
+        # filesystem, so with both 1qys.pdb and 1qys.pdb1.gz present the
+        # designed structure would differ between machines/runs
+        hits = sorted(
+            base.glob(f"**/{cfg['pdb_code']}*.pdb*"),
+            key=lambda p: (".pdb1" not in p.name, str(p)),
+        )
         if not hits and getattr(args, "allow_fetch", False):
             from .io.fetch import RCSB_BASE_URL, make_fetcher
 
@@ -434,7 +490,10 @@ def main(argv=None):  # noqa: C901 - UI flow
     if states is None:
         return
     structure = states[0]
-    residue_map, native_seq = create_residue_map(structure)
+    # the FULL structure's residue map drives the property-constraint
+    # widgets (constraints rewrite structure residues); the post-design
+    # sections use the frame-aligned map built below instead
+    full_residue_map, full_native_seq = create_residue_map(structure)
 
     model_name = cfg["model_name"]
     spec = MODEL_REGISTRY.get(model_name)
@@ -442,7 +501,9 @@ def main(argv=None):  # noqa: C901 - UI flow
     if prop is not None:
         from .structure import modify_structure_with_property
 
-        prop_map = _draw_property_constraints(native_seq, residue_map, prop)
+        prop_map = _draw_property_constraints(
+            full_native_seq, full_residue_map, prop
+        )
         states = [
             modify_structure_with_property(s, prop_map, prop) for s in states
         ]
@@ -489,15 +550,18 @@ def main(argv=None):  # noqa: C901 - UI flow
     cache = st.session_state.setdefault("design_cache", {})
     t0 = time.perf_counter()
     if design_key in cache:
-        per_state_probs = cache[design_key]
+        per_state_probs, native_seq, residue_map = cache[design_key]
     else:
-        per_state_probs = []
+        per_state = []
         for s in states:
-            p, _fa = session.design(s)
-            per_state_probs.append(np.asarray(p))
+            p, fa = session.design(s)
+            per_state.append((np.asarray(p), fa))
+        per_state_probs, native_seq, residue_map = _aligned_design_outputs(
+            per_state
+        )
         while len(cache) >= 4:  # bound memory: drop oldest designs
             cache.pop(next(iter(cache)))
-        cache[design_key] = per_state_probs
+        cache[design_key] = (per_state_probs, native_seq, residue_map)
     probs = _nmr_consensus(per_state_probs)
     t_pred = time.perf_counter() - t0
 
