@@ -18,6 +18,11 @@ import argparse
 import json
 from pathlib import Path
 
+import sys as _sys
+from pathlib import Path as _P
+
+_sys.path.insert(0, str(_P(__file__).parent.parent))  # repo root checkout
+
 from timed_design_tpu.analyse import run_model_benchmark
 
 ZOO = ["TIMED", "TIMED_Deep", "ProDCoNN", "DenseNet", "DenseCPD"]

@@ -43,8 +43,15 @@ def run_mode(designer, pdb_bytes: bytes, n_serial: int, n_conc: int,
         return body
 
     try:
-        for _ in range(3):  # warmup: compile + caches
+        for _ in range(3):  # warmup: compile + caches (solo path)
             one(0)
+        # CONCURRENT warmup too: serial requests never touch the packed
+        # path (a 1-request group short-circuits to predict_probs), so
+        # without this burst the first timed concurrent group would pay
+        # the dynamic_update_slice pack-program compiles inside dt_conc —
+        # understating the coalescing advantage this script measures
+        with ThreadPoolExecutor(max_workers=n_conc) as pool:
+            list(pool.map(one, range(min(n_conc, 8))))
         t0 = time.perf_counter()
         for i in range(n_serial):
             one(i)

@@ -84,19 +84,27 @@ def main() -> None:
         ("vmem128M+flash", {"xla_tpu_scoped_vmem_limit_kib": "131072",
                             "xla_tpu_enable_experimental_fusion_cost_model": "true"}),
     ]
-    base = 0
     results = []
-    for name, opts in candidates:
+    for cand_idx, (name, opts) in enumerate(candidates):
         try:
             step = (
                 jax.jit(fwd)
                 if opts is None
                 else functools.partial(jax.jit, compiler_options=opts)(fwd)
             )
-            fps = measure(step, variables, x,
+            # fresh base tensor PER CANDIDATE: a shared x with only a base
+            # offset is not collision-safe (offsets collapse mod 251 — a
+            # +200k increment is ≡204, so candidate k+2's residue range
+            # lands inside candidate k's and the transport's value-keyed
+            # cache can serve those steps). A new random array makes every
+            # candidate's steps bitwise-new regardless of residues.
+            x_c = jnp.asarray(
+                np.random.default_rng(1 + cand_idx).random(x.shape),
+                jnp.bfloat16,
+            )
+            fps = measure(step, variables, x_c,
                           n_small=5 if quick else 10,
-                          n_large=20 if quick else 40, base=base)
-            base += 200_000
+                          n_large=20 if quick else 40, base=0)
             results.append((fps, name))
             print(f"{name:26s} {fps:10.1f} frames/s", flush=True)
         except Exception as e:  # unknown flags fail compilation — that's data

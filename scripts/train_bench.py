@@ -43,8 +43,15 @@ def main() -> None:
         module, jax.random.key(0), (1, 21, 21, 21, 5), optimizer, None
     )
     base_step = make_train_step(module, optimizer)
+
+    def perturbed_step(state, x, y, i, key):
+        # the uniqueness perturbation is folded INSIDE the jit (bench.py
+        # methodology): an eager `x + scalar` outside would add a full
+        # 93 MB batch materialization to every measured step
+        return base_step(state, x + (i % 251).astype(x.dtype), y, key)
+
     step = jax.jit(
-        base_step,
+        perturbed_step,
         compiler_options=tpu_compiler_options(model_name=args.model),
         donate_argnums=(0,),  # reuse the train-state buffers in place
     )
@@ -60,8 +67,8 @@ def main() -> None:
         m = None
         for i in range(n):
             # unique per-step inputs: fold the step index into the PRNG key
-            # AND the frames (i%251 exact in bf16/f32)
-            state, m = step(state, x + np.float32((base + i) % 251), y,
+            # AND the frames (i%251 exact in bf16/f32, added on device)
+            state, m = step(state, x, y, jnp.int32(base + i),
                             jax.random.key(base + i))
         float(m["loss"])
         return time.perf_counter() - t0

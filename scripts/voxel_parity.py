@@ -129,13 +129,26 @@ def main() -> int:
                 err = compare(ref, ours, f"{mode}/{spread}")
                 best[(mode, spread)] = err
 
-    ok = any(v < 1e-5 for v in best.values())
+    # PASS requires BOTH modes to have a matching convention — and the
+    # gaussian winner is picked among gaussian candidates only. Gating on
+    # any() would let a matching boolean mode (which involves none of the
+    # §4 gaussian-spreading ambiguity this harness exists to resolve) mask
+    # a gaussian failure and record the question as closed.
+    gauss = {k: v for k, v in best.items() if k[0] == "gaussian"}
+    boolean = {k: v for k, v in best.items() if k[0] == "boolean"}
+    gauss_ok = any(v < 1e-5 for v in gauss.values())
+    bool_ok = any(v < 1e-5 for v in boolean.values())
+    ok = gauss_ok and bool_ok
     print("\nRESULT:", "PASS" if ok else "FAIL",
           {f"{m}/{s}": f"{v:.3e}" for (m, s), v in best.items()})
-    if ok:
-        winner = min(best, key=best.get)
-        print(f"Matching convention: {winner} — update docs/VOXELIZER_SPEC.md "
-              f"§4 to [VALIDATED] and regenerate the golden file.")
+    if not gauss_ok:
+        print("gaussian parity FAILED for both candidate conventions — "
+              "docs/VOXELIZER_SPEC.md §4 stays [RECONSTRUCTED].")
+    if gauss_ok:
+        winner = min(gauss, key=gauss.get)
+        print(f"Matching gaussian convention: {winner} — update "
+              f"docs/VOXELIZER_SPEC.md §4 to [VALIDATED] and regenerate "
+              f"the golden file.")
     return 0 if ok else 1
 
 

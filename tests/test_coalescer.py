@@ -145,3 +145,33 @@ def test_design_close_race_cannot_strand_a_future(session, ubq_structure):
         t.join(timeout=30)
         assert not t.is_alive(), "design() hung across close()"
         assert len(outcomes) == 1
+
+
+def test_all_empty_group_returns_empty_results(session):
+    """Concurrent requests whose structures voxelize to ZERO frames (no
+    standard residues) must succeed with empty matrices — a packed group
+    of empties used to die in np.concatenate over zero chunks."""
+    from timed_design_tpu.engine.coalescer import CoalescingDesigner
+    from timed_design_tpu.structure import parse_pdb_string
+
+    # HETATM-only "structure": parses, yields no standard residues
+    text = (
+        "HETATM    1  C1  LIG A   1       0.000   0.000   0.000  1.00  0.00           C\n"
+        "END\n"
+    )
+    s = parse_pdb_string(text, name="empty")[0]
+    designer = CoalescingDesigner(session)
+    try:
+        barrier = threading.Barrier(2)
+
+        def one(structure):
+            barrier.wait()
+            return designer.design(structure)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            results = [f.result(timeout=300)
+                       for f in [pool.submit(one, s), pool.submit(one, s)]]
+        for probs, fa, _ in results:
+            assert probs.shape[0] == 0
+    finally:
+        designer.close()

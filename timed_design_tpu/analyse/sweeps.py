@@ -38,7 +38,12 @@ def run_model_benchmark(
 
     results = {}
     for model in models:
-        out = Path(output_root) / str(model)
+        # weights paths become their stem: joining an ABSOLUTE .h5 path
+        # onto output_root would discard output_root entirely (pathlib
+        # semantics) and try to mkdir over the weights file itself
+        tag = Path(str(model)).stem if str(model).endswith(
+            (".h5", ".hdf5")) else str(model)
+        out = Path(output_root) / tag
         out.mkdir(parents=True, exist_ok=True)
         res = load_dataset_and_predict(
             [model], Path(dataset_path), batch_size=batch_size,

@@ -5,10 +5,12 @@ The TPU-idiomatic serving design: one chip eats a 512-frame batch in ~18 ms
 (BASELINE.md), but a single design request is typically a 76-residue
 backbone — running requests one-at-a-time through the compiled batch leaves
 >80% of each program's rows as padding and caps throughput at 1/latency
-(the round-2 `td-serve` design: a global lock, cli/serve.py). Here a worker
-thread drains every request queued at the moment the device frees up,
-voxelizes each, concatenates their frames into the predictor's compiled
-batch, runs ONE program, and fans per-request slices back through futures.
+(the round-2 `td-serve` design: a global lock, cli/serve.py). Here each
+request thread voxelizes its own structure (overlapping with other
+requests and with device runs — JAX dispatch is thread-safe), a worker
+thread drains every pre-voxelized request queued at the moment the device
+frees up, packs their frames into the predictor's compiled batch, runs
+ONE program, and fans per-request slices back through futures.
 Under N concurrent clients the batch fills with real rows and throughput
 scales far past 1/latency; an idle server still runs each request
 immediately (zero added latency — the default collection window is
@@ -87,14 +89,29 @@ class CoalescingDesigner:
         per-request voxelisation time, the shared prediction time of the
         group this request rode in, and the group's size (so callers can
         see the coalescing that actually happened).
+
+        Voxelization runs HERE, on the calling request thread (JAX
+        dispatch is thread-safe): under N concurrent clients the N
+        voxelizations overlap each other and the worker's device runs,
+        instead of serializing back-to-back on the single worker thread —
+        and a parse/voxelize error propagates straight to its own caller.
         """
+        from ..voxel import structure_to_frame_atoms, voxelize_frame_atoms
+
+        session = self.session
+        t0 = time.perf_counter()
+        fa = structure_to_frame_atoms(structure, session.codec)
+        frames = voxelize_frame_atoms(
+            fa, session.codec, gaussian=session.gaussian
+        )
+        dt_vox = time.perf_counter() - t0
         fut: Future = Future()
         with self._close_lock:
             if self._closed:
                 # after close() the worker is gone; enqueueing would hang
                 # the caller forever on a future nothing will ever resolve
                 raise RuntimeError("CoalescingDesigner is closed")
-            self._queue.put((structure, fut, time.perf_counter()))
+            self._queue.put((frames, fa, fut, dt_vox))
         return fut.result()
 
     def close(self) -> None:
@@ -113,10 +130,7 @@ class CoalescingDesigner:
         if first is _CLOSE:
             return None
         group = [first]
-        # a malformed "structure" without n_residues must not kill the
-        # worker here (which would hang every later request) — count it as
-        # 0 and let _run_group fail just that request's future
-        residues = getattr(first[0], "n_residues", 0)
+        residues = int(first[0].shape[0])
         deadline = time.perf_counter() + self.window_s
         while residues < self.max_group_residues:
             try:
@@ -132,7 +146,7 @@ class CoalescingDesigner:
                 self._queue.put(_CLOSE)  # re-post so the loop exits next
                 break
             group.append(item)
-            residues += getattr(item[0], "n_residues", 0)
+            residues += int(item[0].shape[0])
         return group
 
     def _loop(self) -> None:
@@ -143,29 +157,16 @@ class CoalescingDesigner:
             try:
                 self._run_group(group)
             except BaseException as e:  # noqa: BLE001 - worker must survive
-                for _, fut, _ in group:
+                for _, _, fut, _ in group:
                     if not fut.done():
                         fut.set_exception(e)
 
     def _run_group(self, group: list) -> None:
-        from ..voxel import structure_to_frame_atoms, voxelize_frame_atoms
-
         session = self.session
-        # Voxelize per request (frames stay device-resident); a bad
-        # structure fails only its own future.
-        ready: list[tuple[Future, t.Any, t.Any, float]] = []
-        for structure, fut, t_enq in group:
-            try:
-                t0 = time.perf_counter()
-                fa = structure_to_frame_atoms(structure, session.codec)
-                frames = voxelize_frame_atoms(
-                    fa, session.codec, gaussian=session.gaussian
-                )
-                ready.append((fut, fa, frames, time.perf_counter() - t0))
-            except Exception as e:  # noqa: BLE001 - isolate per request
-                fut.set_exception(e)
-        if not ready:
-            return
+        # requests arrive pre-voxelized (design() runs the voxelizer on the
+        # request thread so N clients' voxelizations overlap)
+        ready = [(fut, fa, frames, dt_vox)
+                 for frames, fa, fut, dt_vox in group]
 
         t1 = time.perf_counter()
         if len(ready) == 1:
@@ -207,6 +208,11 @@ class CoalescingDesigner:
         B = predictor.batch_size
         dtype = predictor._transfer_dtype or parts[0].dtype
         total = sum(int(p.shape[0]) for p in parts)
+        if total == 0:
+            # a group of all-empty requests (e.g. structures with no
+            # standard residues): np.concatenate over zero chunks raises —
+            # return the same empty result the solo path produces
+            return np.zeros((0, predictor.n_classes), np.float32)
         rows = -(-total // B) * B
         buf = jnp.zeros((rows, *parts[0].shape[1:]), dtype)
         offset = 0
