@@ -113,8 +113,6 @@ def test_predict_voxelize_forwards_nmr_all_states(tmp_path, monkeypatch):
 def test_voxelize_rejects_bool_typos(tmp_path):
     """'-g Ture' (typo) must error instead of silently flipping the
     dataset's gaussian encoding to False."""
-    import pytest
-
     from timed_design_tpu.cli.voxelize import main
 
     (tmp_path / "x.pdb").write_text("ATOM\n")  # pass the existence check

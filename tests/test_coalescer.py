@@ -160,7 +160,10 @@ def test_all_empty_group_returns_empty_results(session):
         "END\n"
     )
     s = parse_pdb_string(text, name="empty")[0]
-    designer = CoalescingDesigner(session)
+    # window_ms>0 so the two requests reliably land in ONE group — with the
+    # default 0 the worker can drain them one at a time through the solo
+    # path and never exercise the packed total==0 guard this test pins
+    designer = CoalescingDesigner(session, window_ms=50.0)
     try:
         barrier = threading.Barrier(2)
 
@@ -173,5 +176,8 @@ def test_all_empty_group_returns_empty_results(session):
                        for f in [pool.submit(one, s), pool.submit(one, s)]]
         for probs, fa, _ in results:
             assert probs.shape[0] == 0
+        # prove the PACKED path ran (the regression lives there, not in
+        # the solo predict_probs path)
+        assert any(t["group_requests"] >= 2 for _, _, t in results)
     finally:
         designer.close()

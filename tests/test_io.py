@@ -521,7 +521,6 @@ def test_consensus_groups_per_chain():
     output key."""
     from timed_design_tpu.io import extract_sequences
 
-    counts = [("2dimA", 4), ("2dimB", 4)]  # placeholder; rebuilt below
     # two states x two chains, 4 residues each; chain A peaked on class 0,
     # chain B on class 1 — a cross-chain merge would blur both
     counts = [("2dim_0A", 4), ("2dim_0B", 4), ("2dim_1A", 4), ("2dim_1B", 4),
@@ -580,11 +579,26 @@ def test_flat_blacklist_warns_like_tree(tmp_path, ubq_flat_h5):
     assert dmap.entries == []
 
 
-def test_loader_prefetch_zero_is_bounded(ubq_h5):
+def test_loader_prefetch_zero_is_bounded(ubq_h5, monkeypatch):
     """prefetch=0 must still iterate correctly — and means 'minimal
     readahead', not the stdlib Queue(0)='unbounded' footgun that would
-    buffer the whole dataset on host."""
+    buffer the whole dataset on host. The maxsize actually passed to the
+    queue is recorded and asserted (iteration alone cannot distinguish
+    bounded from unbounded on a small fixture)."""
+    import queue as _queue
+
+    import timed_design_tpu.io.h5frames as h5frames_mod
+
+    seen_maxsize = []
+
+    class RecordingQueue(_queue.Queue):
+        def __init__(self, maxsize=0):
+            seen_maxsize.append(maxsize)
+            super().__init__(maxsize)
+
+    monkeypatch.setattr(h5frames_mod.queue, "Queue", RecordingQueue)
     dmap, _ = create_flat_dataset_map(ubq_h5)
     loader = FrameBatchLoader(ubq_h5, dmap, batch_size=32, prefetch=0)
     batches = list(loader)
     assert sum(b[2] for b in batches) == 76
+    assert seen_maxsize and all(m >= 1 for m in seen_maxsize), seen_maxsize

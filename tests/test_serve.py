@@ -307,10 +307,16 @@ def test_metrics_label_escaping():
         stats = {"requests": 1}
         session = FakeSession()
 
+    import re
+
     text = ServerMetrics().render({'my"mo\\del\n': FakeDesigner()})
     assert 'model="my\\"mo\\\\del\\n"' in text
-    # still one metric line per entry (the newline was escaped, not emitted)
-    assert not any(line.startswith("del") for line in text.splitlines())
+    # every line stays a well-formed comment or metric sample — an
+    # unescaped newline/quote would split a sample into a continuation
+    # line that matches neither
+    sample = re.compile(r"^[a-zA-Z_:][a-zA-Z0-9_:]*(\{.*\})? [^ ]+$")
+    for line in text.splitlines():
+        assert line.startswith("#") or sample.match(line), repr(line)
 
 
 def test_report_document_per_chain_sections(ubq_pdb_gz):

@@ -236,7 +236,6 @@ def test_fit_drops_loader_padding():
     X[:12] = rng.random((12, 21, 21, 21, 5))
     lab = X[:12].sum((1, 2, 3)).argmax(-1) % 20
     y[np.arange(12), lab] = 1.0
-    loader = [(X, y, 12)] * 30
 
     # 1-device mesh: with the suite's 8-device mesh, data-axis divisibility
     # forces keep=16 (4 padded rows retained) — fine in production, but this
