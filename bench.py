@@ -81,12 +81,19 @@ def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800,
         # bf16 resolution (1.0001 rounds back to 1.0), leaving replicas
         # bitwise identical on device. `attempt` shifts every scalar so a
         # retried run cannot be value-cache-served by the failed attempt's
-        # executions.
+        # executions, and `_ds_offset` advances per DATASET so the warmup,
+        # flat, and tree datasets never share a batch composition (a shared
+        # 0-based range would let the tree run be cache-served by flat's).
+        _ds_offset = [0]
+
         def frame_scalars(start: int, stop: int) -> np.ndarray:
-            idx = (np.arange(start, stop) + attempt * 97) % 251
+            idx = (
+                np.arange(start, stop) + _ds_offset[0] + attempt * 97
+            ) % 251
             return idx.astype(np.float32)[:, None, None, None, None]
 
         def replicate_flat(dst: Path, n: int) -> Path:
+            _ds_offset[0] += 101  # new residue phase for this dataset
             with h5py.File(dst, "w") as f:
                 for k, v in attrs.items():
                     f.attrs[k] = v
@@ -112,6 +119,7 @@ def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800,
             return dst
 
         def replicate_tree(dst: Path, n: int) -> Path:
+            _ds_offset[0] += 101  # new residue phase for this dataset
             with h5py.File(dst, "w") as f:
                 for k, v in attrs.items():
                     if k == "layout":

@@ -9,10 +9,7 @@ Usage: python scripts/analyse_af2_results.py TARGET.pdb AF2_OUTPUT_DIR
 import sys
 from pathlib import Path
 
-import sys as _sys
-from pathlib import Path as _P
-
-_sys.path.insert(0, str(_P(__file__).parent.parent))  # repo root checkout
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root checkout
 
 from timed_design_tpu.analyse import analyse_af2_folder
 

@@ -9,10 +9,7 @@ Usage: python scripts/make_af2_jobs.py SAMPLES.fasta JOBS_DIR
 import sys
 from pathlib import Path
 
-import sys as _sys
-from pathlib import Path as _P
-
-_sys.path.insert(0, str(_P(__file__).parent.parent))  # repo root checkout
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root checkout
 
 from timed_design_tpu.analyse import make_af2_slurm_script, partition_fastas
 

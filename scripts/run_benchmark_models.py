@@ -18,10 +18,9 @@ import argparse
 import json
 from pathlib import Path
 
-import sys as _sys
-from pathlib import Path as _P
+import sys
 
-_sys.path.insert(0, str(_P(__file__).parent.parent))  # repo root checkout
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root checkout
 
 from timed_design_tpu.analyse import run_model_benchmark
 

@@ -10,10 +10,7 @@ Usage: python scripts/run_sampling.py MODEL.csv MODEL.txt [SAMPLE_N]
 import sys
 from pathlib import Path
 
-import sys as _sys
-from pathlib import Path as _P
-
-_sys.path.insert(0, str(_P(__file__).parent.parent))  # repo root checkout
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root checkout
 
 from timed_design_tpu.analyse import run_temperature_sweep
 

@@ -296,3 +296,31 @@ def test_datasetmap_default_found_in_output_dir(tmp_path, monkeypatch, ubq_h5):
         allow_random_weights=True,
     )
     assert r2.pdb_to_sequence == r1.pdb_to_sequence
+
+
+def test_stale_datasetmap_regenerated(tmp_path, ubq_h5):
+    """A leftover map describing a DIFFERENT dataset must be detected and
+    regenerated, not silently used to index this dataset's frames."""
+    import jax
+
+    from timed_design_tpu.io import save_datasetmap
+    from timed_design_tpu.io.datasetmap import DatasetMap
+    from timed_design_tpu.models import timed
+
+    module = timed(filters=(4,))
+    variables = module.init(
+        jax.random.key(0), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    stale = DatasetMap(entries=[("9zzz", "Q", str(i), "ALA")
+                                for i in range(10)])
+    save_datasetmap(stale, out / "datasetmap.txt")
+    r = load_dataset_and_predict(
+        [(module, variables)], ubq_h5, batch_size=32, path_to_output=out,
+        dataset_map_path=out / "datasetmap.txt",
+        allow_random_weights=True,
+    )
+    # the real 1ubq rows were predicted, not the stale 9zzz ones
+    assert set(r.pdb_to_sequence) == {"1ubqA"}
+    assert len(r.pdb_to_sequence["1ubqA"]) == 76

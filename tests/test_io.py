@@ -602,3 +602,17 @@ def test_loader_prefetch_zero_is_bounded(ubq_h5, monkeypatch):
     batches = list(loader)
     assert sum(b[2] for b in batches) == 76
     assert seen_maxsize and all(m >= 1 for m in seen_maxsize), seen_maxsize
+
+
+def test_consensus_key_collision_raises():
+    """Ambiguous grouping (multi-chain states emitting 'baseA' while a
+    literal key 'baseA' also exists) must error, not silently drop one
+    group's consensus."""
+    from timed_design_tpu.io import extract_sequences
+
+    counts = [("1abc_0A", 2), ("1abc_0B", 2), ("1abc_1A", 2),
+              ("1abc_1B", 2), ("1abcA", 2)]
+    n = sum(c for _, c in counts)
+    P = np.full((n, 20), 1 / 20.0, np.float32)
+    with pytest.raises(ValueError, match="consensus key collision"):
+        extract_sequences(DatasetMap(counts=counts), P, is_consensus=True)

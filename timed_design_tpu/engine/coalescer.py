@@ -63,7 +63,12 @@ class CoalescingDesigner:
             max_group_residues or 8 * session.predictor.batch_size
         )
         self.window_s = window_ms / 1e3
-        self._queue: queue.Queue = queue.Queue()
+        # BOUNDED: queued items now carry device-resident frame tensors
+        # (voxelized on the request threads), so an unbounded queue under
+        # N slow-to-drain clients would pin unbounded HBM. A full queue
+        # blocks design() callers — backpressure, not OOM; the worker
+        # always drains, so blocked puts cannot deadlock.
+        self._queue: queue.Queue = queue.Queue(maxsize=32)
         # serializes the closed-check+enqueue against close(): without it a
         # design() that passed the check could enqueue AFTER the _CLOSE
         # sentinel and hang forever on a future no worker will resolve

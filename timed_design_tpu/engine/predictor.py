@@ -256,6 +256,58 @@ def _resolve_model(m, compute_dtype=None, allow_random_weights=False):
     return (module, variables), spec.name
 
 
+def _datasetmap_matches_dataset(dmap, dataset_path: Path) -> bool:
+    """Cheap consistency check: do the map's rows describe THIS dataset?
+
+    Flat layout: row count plus first/last index entries must agree.
+    Tree layout: the first and last entries' pdb/chain/rid nodes must
+    exist. O(1) h5 metadata reads — not a full scan."""
+    import h5py
+
+    from ..io.h5frames import _is_flat_layout
+
+    if not dmap.entries:
+        return False
+    try:
+        with h5py.File(dataset_path, "r") as f:
+            if _is_flat_layout(f):
+                n = f["index_pdb"].shape[0]
+                if n == len(dmap.entries):
+                    for i in (0, len(dmap.entries) - 1):
+                        pdb, chain, rid, _ = dmap.entries[i]
+                        row = (
+                            _dec(f["index_pdb"][i]),
+                            _dec(f["index_chain"][i]),
+                            _dec(f["index_residue"][i]),
+                        )
+                        if row != (pdb, chain, rid):
+                            return False
+                    return True
+                # a blacklist-filtered map is a legitimate SUBSET: verify
+                # membership instead (one index read, not a frame scan)
+                rows = set(zip(
+                    (_dec(v) for v in f["index_pdb"][()]),
+                    (_dec(v) for v in f["index_chain"][()]),
+                    (_dec(v) for v in f["index_residue"][()]),
+                ))
+                return all(
+                    (dmap.entries[i][0], dmap.entries[i][1],
+                     dmap.entries[i][2]) in rows
+                    for i in (0, len(dmap.entries) - 1)
+                )
+            for i in (0, len(dmap.entries) - 1):
+                pdb, chain, rid, _ = dmap.entries[i]
+                if pdb not in f or chain not in f[pdb] or rid not in f[pdb][chain]:
+                    return False
+            return True
+    except OSError:
+        return False
+
+
+def _dec(v) -> str:
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
 def load_dataset_and_predict(
     models: list,
     dataset_path: Path,
@@ -313,11 +365,27 @@ def load_dataset_and_predict(
                     "dataset_map_path elsewhere."
                 )
             dmap = load_datasetmap(Path(dataset_map_path), is_old=True)
+            # a loaded map must actually DESCRIBE this dataset: a stale
+            # file from a different run (reused output dir, leftover CWD
+            # file) would index the HDF5 with the wrong (pdb,chain,rid)
+            # rows — KeyError deep in the loader at best, silently
+            # mispaired sequences at worst. Regenerate on mismatch.
+            if not _datasetmap_matches_dataset(dmap, dataset_path):
+                print(
+                    f"# {dataset_map_path} does not match {dataset_path} "
+                    f"(stale map from another dataset?) — regenerating"
+                )
+                dmap = None
         else:
+            dmap = None
+        if dmap is None:
             dmap, _ = create_flat_dataset_map(
                 dataset_path, filter_list, remove_blacklist_silently=True
             )
-            save_datasetmap(dmap, path_to_output / "datasetmap.txt")
+            # save under the REQUESTED filename so the next run with the
+            # same dataset_map_path finds it (a fixed 'datasetmap.txt'
+            # would leave non-default names regenerating forever)
+            save_datasetmap(dmap, path_to_output / dataset_map_path.name)
 
     # Resolve every model up front and stream the dataset ONCE: each batch
     # crosses host->device a single time and every model's compiled program

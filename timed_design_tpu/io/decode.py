@@ -140,10 +140,18 @@ def extract_sequences(
     chains_per_base: dict[str, set[str]] = {}
     for base, chain in by_group:
         chains_per_base.setdefault(base, set()).add(chain)
-    by_base = {
-        (base if len(chains_per_base[base]) == 1 else base + chain): probs
-        for (base, chain), probs in by_group.items()
-    }
+    by_base: dict[str, list[np.ndarray]] = {}
+    for (base, chain), probs in by_group.items():
+        key = base if len(chains_per_base[base]) == 1 else base + chain
+        if key in by_base:
+            # e.g. multi-chain states 1abc_0A/1abc_0B emitting '1abcA'
+            # alongside a literal key '1abcA' — silently keeping one
+            # would drop the other's consensus from the results
+            raise ValueError(
+                f"consensus key collision: two structure groups both map "
+                f"to {key!r}; rename the conflicting structures"
+            )
+        by_base[key] = probs
     pdb_to_consensus_prob = {
         base: consensus_running_average(probs)
         for base, probs in by_base.items()

@@ -83,10 +83,14 @@ def fetch_pdb(
             # poison the mirror just the same
             import gzip as _gzip
             import io as _io
+            import zlib as _zlib
 
             try:
                 head = _gzip.GzipFile(fileobj=_io.BytesIO(data)).read(65536)
-            except OSError:
+            except (OSError, EOFError, _zlib.error):
+                # EOFError: truncated stream; zlib.error: corrupt deflate —
+                # neither is an OSError subclass, and both must count as a
+                # candidate miss, not abort the whole fetch
                 last_err = ValueError(f"{url}: corrupt gzip data")
                 continue
             if not _looks_like_pdb(head):

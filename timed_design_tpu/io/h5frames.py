@@ -493,18 +493,12 @@ def convert_to_flat(
         # label dtype follows the SOURCE: the tree reader preserves float
         # (soft/probability) `encoded_residue` attrs (see _read_batch), so
         # the flat copy must too — an unconditional int8 cast would
-        # truncate every fractional value to 0 and silently zero the labels
-        label_dtype = np.int8
-        for pdb, chain, rid, _ in dmap.entries:
-            enc = fin[pdb][chain][rid].attrs.get("encoded_residue")
-            if enc is not None and not np.issubdtype(
-                np.asarray(enc).dtype, np.integer
-            ):
-                arr = np.asarray(enc, np.float64)
-                if not np.array_equal(arr, np.round(arr)):
-                    label_dtype = np.float32
-                    break
-        labels = fout.create_dataset("labels", shape=(n, 20), dtype=label_dtype)
+        # truncate every fractional value to 0 and silently zero the
+        # labels. Labels are buffered host-side during the SINGLE copy pass
+        # (n x 20 floats is tiny next to the frames) and the output dtype
+        # picked at the end — a pre-scan would double every node's HDF5
+        # metadata reads on ordinary all-integer datasets.
+        label_buf = np.zeros((n, 20), np.float64)
         str_t = h5py.string_dtype()
         cols = {
             name: fout.create_dataset(name, shape=(n,), dtype=str_t)
@@ -516,11 +510,19 @@ def convert_to_flat(
             frames[i] = node[()]
             enc = node.attrs.get("encoded_residue")
             if enc is not None:
-                labels[i] = np.asarray(enc, label_dtype)
+                label_buf[i] = np.asarray(enc, np.float64)
             else:
-                labels[i, AA3_TO_INT[label]] = 1
+                label_buf[i, AA3_TO_INT[label]] = 1
             cols["index_pdb"][i] = pdb
             cols["index_chain"][i] = chain
             cols["index_residue"][i] = rid
             cols["index_label"][i] = label
+        label_dtype = (
+            np.int8
+            if np.array_equal(label_buf, np.round(label_buf))
+            else np.float32
+        )
+        fout.create_dataset(
+            "labels", data=label_buf.astype(label_dtype), dtype=label_dtype
+        )
     return dst

@@ -499,13 +499,21 @@ def main(argv=None):  # noqa: C901 - UI flow
     spec = MODEL_REGISTRY.get(model_name)
     prop = PROPERTY_MODELS.get(model_name)
     if prop is not None:
+        import copy
+
         from .structure import modify_structure_with_property
 
         prop_map = _draw_property_constraints(
             full_native_seq, full_residue_map, prop
         )
+        # modify_structure_with_property mutates IN PLACE (properties.py
+        # docstring: "parse a fresh copy for the original") and the parse
+        # cache re-serves these Structure objects on every rerun — deep-copy
+        # first or constraints would corrupt the cached native structures
+        # and compound across widget interactions
         states = [
-            modify_structure_with_property(s, prop_map, prop) for s in states
+            modify_structure_with_property(copy.deepcopy(s), prop_map, prop)
+            for s in states
         ]
         structure = states[0]
 
