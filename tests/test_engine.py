@@ -324,3 +324,50 @@ def test_stale_datasetmap_regenerated(tmp_path, ubq_h5):
     # the real 1ubq rows were predicted, not the stale 9zzz ones
     assert set(r.pdb_to_sequence) == {"1ubqA"}
     assert len(r.pdb_to_sequence["1ubqA"]) == 76
+
+
+def test_ensemble_validation_fails_fast(tmp_path, ubq_h5):
+    """--ensemble preconditions raise BEFORE any frame streams: one model
+    is not an ensemble, and a 20-class head cannot average with a
+    338-rotamer head."""
+    with pytest.raises(ValueError, match="at least two"):
+        load_dataset_and_predict(
+            ["TIMED"], ubq_h5, batch_size=32, path_to_output=tmp_path,
+            dataset_map_path=tmp_path / "dm.txt",
+            allow_random_weights=True, ensemble=True,
+        )
+    with pytest.raises(ValueError, match="matching heads"):
+        load_dataset_and_predict(
+            ["TIMED", "TIMED_rotamer_not_so_deep"], ubq_h5, batch_size=32,
+            path_to_output=tmp_path, dataset_map_path=tmp_path / "dm.txt",
+            allow_random_weights=True, ensemble=True,
+        )
+
+
+@pytest.mark.slow
+def test_ensemble_outputs_mean_of_members(tmp_path, ubq_h5):
+    """ensemble=True emits the full artifact set under 'ensemble', whose
+    matrix is the float32 mean of the member matrices (the per-model CSVs
+    are float16-quantized, so compare at float16 tolerance), and the
+    returned bundle is the ensemble's decode."""
+    result = load_dataset_and_predict(
+        ["TIMED", "TIMED_Deep"], ubq_h5, batch_size=32,
+        path_to_output=tmp_path, dataset_map_path=tmp_path / "dm.txt",
+        allow_random_weights=True, ensemble=True,
+    )
+    ens = load_prediction_matrix(tmp_path / "ensemble.csv")
+    m1 = load_prediction_matrix(tmp_path / "TIMED.csv")
+    m2 = load_prediction_matrix(tmp_path / "TIMED_Deep.csv")
+    assert ens.shape == m1.shape == m2.shape
+    np.testing.assert_allclose(ens, (m1 + m2) / 2.0, atol=2e-3)
+    # the ensemble is a probability matrix: rows ~ 1 (members each sum to 1)
+    np.testing.assert_allclose(ens.sum(axis=1), 1.0, atol=5e-2)
+    # returned bundle decodes the MEAN matrix, not the last member's
+    assert (tmp_path / "ensemble.fasta").exists()
+    fasta_seq = (tmp_path / "ensemble.fasta").read_text().splitlines()[1]
+    (pdb,) = result.pdb_to_sequence
+    assert result.pdb_to_sequence[pdb] == fasta_seq
+    probs = np.asarray(result.pdb_to_probability[pdb], dtype=np.float64)
+    np.testing.assert_allclose(probs, ens, atol=2e-3)
+    # SRB map for downstream PDBench tooling
+    assert (tmp_path / "ensemble.txt").exists()

@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="Write a jax.profiler trace of the run to DIR "
                         "(open with TensorBoard / xprof)")
+    p.add_argument("--ensemble", action="store_true",
+                   help="Also average the models' probability matrices and "
+                        "emit the full artifact set as 'ensemble' "
+                        "(csv/fasta/SRB; needs >=2 models with the same "
+                        "head). Costs no extra device time: every model "
+                        "already runs on the same device-resident batches.")
     p.add_argument("--allow-random-weights", action="store_true",
                    dest="allow_random_weights",
                    help="Permit bare registry names with no weights "
@@ -116,6 +122,7 @@ def main(argv=None) -> None:
             path_to_output=cfg.path_to_output,
             compute_dtype=compute_dtype,
             allow_random_weights=args.allow_random_weights,
+            ensemble=args.ensemble,
         )
     if args.profile:
         print(f"Profiler trace written to {args.profile}")
@@ -128,8 +135,12 @@ def main(argv=None) -> None:
         from ..report import write_design_report
 
         # the result bundle holds the LAST model's maps (engine loop) — name
-        # the report after it ("TIMED" from models/TIMED.h5 or TIMED@ckpt)
-        name = Path(str(args.path_to_model[-1])).stem.split("@")[0]
+        # the report after it ("TIMED" from models/TIMED.h5 or TIMED@ckpt);
+        # with --ensemble the bundle is the ensemble's
+        name = (
+            "ensemble" if args.ensemble
+            else Path(str(args.path_to_model[-1])).stem.split("@")[0]
+        )
         path = write_design_report(
             result.pdb_to_sequence,
             result.pdb_to_real_sequence,

@@ -323,6 +323,7 @@ def load_dataset_and_predict(
     float16_decode: bool = True,
     compute_dtype=None,
     allow_random_weights: bool = False,
+    ensemble: bool = False,
 ) -> PredictionResult:
     """Engine entry point — reference-parity surface (predict.py:28-194).
 
@@ -334,6 +335,15 @@ def load_dataset_and_predict(
     ``{model}.csv``; the fasta decode runs on the 338-class matrix cast to
     float16 (mirroring the reference's CSV round-trip at predict.py:163) so
     argmax tie-breaking matches bit-for-bit.
+
+    ``ensemble=True`` (beyond the reference, which only runs models
+    separately, predict.py:114) additionally averages the per-model
+    probability matrices in full float32 precision — the models must share a
+    head size — and emits the same artifact set under the name
+    ``ensemble{suffix}`` (csv/fasta/SRB map, consensus when requested). The
+    device cost is already paid: every model ran on the same device-resident
+    batches, so the ensemble is one host-side mean. The returned bundle is
+    then the ENSEMBLE's (per-model bundles still land on disk).
     """
     timer = PhaseTimer()
     path_to_output = Path(path_to_output)
@@ -413,6 +423,20 @@ def load_dataset_and_predict(
                   transfer_dtype=compute_dtype, model_name=name)
         for model, name in resolved_models
     ]
+    if ensemble:
+        # fail before streaming: a head mismatch (20-class vs 338-rotamer
+        # zoo members) makes the mean meaningless
+        if len(predictors) < 2:
+            raise ValueError(
+                "ensemble=True needs at least two models to average"
+            )
+        heads = {p.n_classes for p in predictors}
+        if len(heads) != 1:
+            raise ValueError(
+                "ensemble requires models with matching heads; got class "
+                f"counts {sorted(heads)} — mixing 20-residue and 338-rotamer "
+                "models cannot be averaged"
+            )
 
     loader = FrameBatchLoader(
         dataset_path, dmap, batch_size=predictors[0].batch_size,
@@ -446,45 +470,37 @@ def load_dataset_and_predict(
             _drain_one()
     y_true = np.concatenate(labels_parts) if labels_parts else np.zeros((0, 20))
 
-    result: PredictionResult | None = None
-    for model_i, (predictor, (_, model_name)) in enumerate(
-        zip(predictors, resolved_models)
-    ):
-        probs = (
-            np.concatenate(probs_parts[model_i])
-            if probs_parts[model_i]
-            else np.zeros((0, predictor.n_classes))
-        )
+    # append on resume so earlier batches' rows survive (the reference's
+    # append-mode CSVs, predict.py:145); truncate on fresh runs so a
+    # stale file can't duplicate rows
+    resuming = start_batch > 0
 
-        # append on resume so earlier batches' rows survive (the reference's
-        # append-mode CSVs, predict.py:145); truncate on fresh runs so a
-        # stale file can't duplicate rows
-        resuming = start_batch > 0
+    def _emit_outputs(probs, model_name, *, append, read_back):
+        """Write one model's full artifact set and decode its sequences.
+
+        Returns (decoded, full_probs) where full_probs covers ALL residues
+        even on resume (re-read from the appended CSV, the reference's own
+        flow at predict.py:163)."""
         with timer.phase("write"):
-            if model_i == 0:
-                save_encoded_labels(
-                    y_true.astype(np.int64), path_to_output, append=resuming
-                )
             if predict_rotamers:
                 main_csv = save_prediction_csv(
-                    probs, model_name, path_to_output, append=resuming,
+                    probs, model_name, path_to_output, append=append,
                     float16=False, rotamer=True,
                 )
                 onehot20 = ROTAMER_TO_AA_ONEHOT[probs.argmax(axis=1)]
                 save_prediction_csv(onehot20, model_name, path_to_output,
-                                    append=resuming, float16=True)
+                                    append=append, float16=True)
             else:
                 main_csv = save_prediction_csv(
-                    probs, model_name, path_to_output, append=resuming,
+                    probs, model_name, path_to_output, append=append,
                     float16=True,
                 )
             save_srb_datasetmap(dmap, model_name, path_to_output)
 
         with timer.phase("decode"):
-            if resuming:
+            if read_back:
                 # earlier batches live only in the appended CSV: read the
-                # FULL matrix back for decoding — the reference's own flow
-                # (predict.py:163 re-reads the csv it just appended to)
+                # FULL matrix back for decoding
                 from ..io import load_prediction_matrix
 
                 probs = load_prediction_matrix(main_csv, dtype=np.float64)
@@ -513,11 +529,45 @@ def load_dataset_and_predict(
                 save_consensus_probs(
                     decoded.pdb_to_consensus_prob, model_name, path_to_output
                 )
+        return decoded, probs
 
+    result: PredictionResult | None = None
+    member_probs: list[np.ndarray] = []
+    for model_i, (predictor, (_, model_name)) in enumerate(
+        zip(predictors, resolved_models)
+    ):
+        probs = (
+            np.concatenate(probs_parts[model_i])
+            if probs_parts[model_i]
+            else np.zeros((0, predictor.n_classes))
+        )
+        if model_i == 0:
+            with timer.phase("write"):
+                save_encoded_labels(
+                    y_true.astype(np.int64), path_to_output, append=resuming
+                )
+        decoded, full_probs = _emit_outputs(
+            probs, model_name, append=resuming, read_back=resuming
+        )
+        if ensemble:
+            member_probs.append(np.asarray(full_probs, dtype=np.float64))
         result = PredictionResult(
             dmap, *decoded.astuple(), timings=timer.summary()
         )
     assert result is not None, "no models given"
+
+    if ensemble:
+        # host-side mean of the full-precision matrices (the float16 lives
+        # only in the per-model CSVs); the ensemble CSV is always written
+        # fresh — its members' matrices are already complete on resume
+        mean_probs = np.mean(np.stack(member_probs, axis=0), axis=0)
+        decoded, _ = _emit_outputs(
+            mean_probs, "ensemble" + model_name_suffix,
+            append=False, read_back=False,
+        )
+        result = PredictionResult(
+            dmap, *decoded.astuple(), timings=timer.summary()
+        )
     return result
 
 
