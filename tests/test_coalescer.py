@@ -181,3 +181,111 @@ def test_all_empty_group_returns_empty_results(session):
         assert any(t["group_requests"] >= 2 for _, _, t in results)
     finally:
         designer.close()
+
+
+def test_ensemble_designer_means_members(session, ubq_structure):
+    """EnsembleDesigner: one voxelization, frames fanned to every member,
+    result is the float64 mean of the members' probability matrices."""
+    import jax
+
+    from timed_design_tpu.engine import DesignSession
+    from timed_design_tpu.engine.coalescer import (
+        CoalescingDesigner,
+        EnsembleDesigner,
+    )
+    from timed_design_tpu.models import timed
+
+    module = timed(filters=(8,))
+    variables = module.init(
+        jax.random.key(7), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    session_b = DesignSession(
+        (module, variables), codec="CNOCACB", batch_size=80,
+        compute_dtype="float32",
+    )
+    a, b = CoalescingDesigner(session), CoalescingDesigner(session_b)
+    try:
+        ens = EnsembleDesigner([a, b])
+        probs, fa, timings = ens.design(ubq_structure)
+        pa, _ = session.design(ubq_structure)
+        pb, _ = session_b.design(ubq_structure)
+        want = (
+            np.asarray(pa, np.float64) + np.asarray(pb, np.float64)
+        ) / 2.0
+        np.testing.assert_allclose(np.asarray(probs), want, atol=2e-6)
+        # the mean is a real third model, not either member passed through
+        assert not np.allclose(np.asarray(probs), np.asarray(pa), atol=1e-4)
+        assert probs.shape == (76, 20)
+        assert len(fa.labels) == 76
+        assert timings["ensemble_members"] == 2
+        assert ens.stats == {"requests": 1, "members": 2}
+        # members saw exactly one request each (ONE voxelization, shared)
+        assert a.stats["requests"] == 1 and b.stats["requests"] == 1
+        ens.close()  # no-op: members stay usable
+        assert a.design(ubq_structure)[0].shape == (76, 20)
+    finally:
+        a.close()
+        b.close()
+
+
+def test_ensemble_designer_serial_members(session, ubq_structure):
+    """The ensemble works identically over lock-serialized members
+    (--no-coalesce): SerialDesigner.submit_frames resolves synchronously."""
+    from timed_design_tpu.engine.coalescer import (
+        EnsembleDesigner,
+        SerialDesigner,
+    )
+
+    a, b = SerialDesigner(session), SerialDesigner(session)
+    ens = EnsembleDesigner([a, b])
+    probs, fa, timings = ens.design(ubq_structure)
+    ref, _ = session.design(ubq_structure)
+    # identical members: the mean IS the member output
+    np.testing.assert_allclose(
+        np.asarray(probs), np.asarray(ref, np.float64), atol=2e-6
+    )
+    assert timings["group_requests"] == 1
+    assert a.stats["requests"] == 1 and b.stats["requests"] == 1
+
+
+def test_ensemble_designer_validation(session):
+    """<2 members, mixed heads, and mismatched voxel specs all fail at
+    construction — never on the first live request."""
+    import jax
+
+    from timed_design_tpu.engine import DesignSession
+    from timed_design_tpu.engine.coalescer import (
+        EnsembleDesigner,
+        SerialDesigner,
+    )
+    from timed_design_tpu.models import timed_rotamer
+
+    sd = SerialDesigner(session)
+    with pytest.raises(ValueError, match="at least two"):
+        EnsembleDesigner([sd])
+
+    rot = timed_rotamer(filters=(8,))
+    rot_vars = rot.init(
+        jax.random.key(1), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    rot_sd = SerialDesigner(DesignSession(
+        (rot, rot_vars), codec="CNOCACB", batch_size=80,
+        compute_dtype="float32",
+    ))
+    with pytest.raises(ValueError, match="matching heads"):
+        EnsembleDesigner([sd, rot_sd])
+
+    # same model/head but a different Gaussian mode: averaging predictions
+    # computed from DIFFERENT voxel inputs would be silently meaningless
+    from timed_design_tpu.models import timed
+
+    module = timed(filters=(8,))
+    variables = module.init(
+        jax.random.key(0), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    other = SerialDesigner(DesignSession(
+        (module, variables), codec="CNOCACB", batch_size=80,
+        compute_dtype="float32", gaussian=not session.gaussian,
+    ))
+    with pytest.raises(ValueError, match="voxel spec"):
+        EnsembleDesigner([sd, other])

@@ -390,3 +390,97 @@ def test_content_length_hardening(server_url):
         resp = conn.getresponse()
         assert resp.status == want, (value, resp.status)
         conn.close()
+
+
+def test_serve_ensemble_model(ubq_pdb_gz):
+    """--ensemble wiring end-to-end: a server with two same-head models and
+    the virtual "ensemble" entry answers "model": "ensemble" requests with
+    the member mean, and the ensemble shows up in /healthz and /metrics."""
+    import jax
+
+    from timed_design_tpu.cli.serve import _add_ensemble, make_server
+    from timed_design_tpu.engine import DesignSession
+    from timed_design_tpu.engine.coalescer import CoalescingDesigner
+    from timed_design_tpu.models import timed
+
+    module = timed(filters=(8,))
+
+    def designer(key):
+        variables = module.init(
+            jax.random.key(key), np.zeros((1, 21, 21, 21, 5), np.float32)
+        )
+        return CoalescingDesigner(DesignSession(
+            (module, variables), codec="CNOCACB", batch_size=80,
+            compute_dtype="float32",
+        ))
+
+    designers = {"A": designer(0), "B": designer(7)}
+    _add_ensemble(designers)
+    server = make_server(
+        designers["A"], "127.0.0.1", 0, "A",
+        extra_designers={k: v for k, v in designers.items() if k != "A"},
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        pdb_text = gzip.decompress(ubq_pdb_gz.read_bytes()).decode()
+        bodies = {}
+        for m in ("A", "B", "ensemble"):
+            status, body = _post(
+                url + "/design",
+                json.dumps({"pdb": pdb_text, "model": m}).encode())
+            assert status == 200 and body["model"] == m
+            bodies[m] = np.array(body["probabilities"], np.float64)
+        # the ensemble's payload is the member mean (members' payloads are
+        # rounded to 1e-6 independently, hence the tolerance)
+        np.testing.assert_allclose(
+            bodies["ensemble"], (bodies["A"] + bodies["B"]) / 2.0, atol=3e-6
+        )
+        assert not np.allclose(bodies["ensemble"], bodies["A"], atol=1e-4)
+        with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["models"] == {"A": 20, "B": 20, "ensemble": 20}
+        with urllib.request.urlopen(url + "/metrics", timeout=60) as r:
+            text = r.read().decode()
+        assert 'td_model_n_classes{model="ensemble"} 20' in text
+        assert 'td_coalescer_stat{model="ensemble",stat="requests"} 1' in text
+    finally:
+        server.shutdown()
+        for d in designers.values():
+            d.close()
+
+
+def test_serve_ensemble_rejects_bad_configs():
+    """--ensemble with one model or mixed heads exits at startup; a real
+    model already named "ensemble" is a startup error too."""
+    import jax
+
+    from timed_design_tpu.cli.serve import _add_ensemble
+    from timed_design_tpu.engine import DesignSession
+    from timed_design_tpu.engine.coalescer import SerialDesigner
+    from timed_design_tpu.models import timed, timed_rotamer
+
+    module = timed(filters=(8,))
+    variables = module.init(
+        jax.random.key(0), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    sd = SerialDesigner(DesignSession(
+        (module, variables), codec="CNOCACB", batch_size=80,
+        compute_dtype="float32",
+    ))
+    with pytest.raises(SystemExit, match="at least two"):
+        _add_ensemble({"A": sd})
+
+    rot = timed_rotamer(filters=(8,))
+    rot_vars = rot.init(
+        jax.random.key(1), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    rot_sd = SerialDesigner(DesignSession(
+        (rot, rot_vars), codec="CNOCACB", batch_size=80,
+        compute_dtype="float32",
+    ))
+    with pytest.raises(SystemExit, match="matching heads"):
+        _add_ensemble({"A": sd, "R": rot_sd})
+    with pytest.raises(SystemExit, match="already named"):
+        _add_ensemble({"ensemble": sd, "B": rot_sd})

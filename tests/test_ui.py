@@ -407,3 +407,72 @@ def test_aligned_design_outputs_ragged_states():
     np.testing.assert_array_equal(aligned[1], p1[[0, 2]])
     assert native == "QF"
     assert rmap == ["Q2 (Chain A)", "F4 (Chain A)"]
+
+
+def test_ui_ensemble_flow(monkeypatch, ubq, models_dir, tmp_path):
+    """2+ picks in the ensemble multiselect average the models: the design
+    runs, the joined name labels the output, and the probabilities are the
+    member mean (pinned through the downloadable CSV payload)."""
+    import shutil
+
+    import jax
+
+    from timed_design_tpu.models import export_timed_to_h5, timed
+
+    d = tmp_path / "models"
+    d.mkdir()
+    shutil.copy(models_dir / "TIMED.h5", d / "TIMED.h5")
+    module = timed(filters=(8,))
+    variables = module.init(
+        jax.random.key(9), np.zeros((1, 21, 21, 21, 5), np.float32)
+    )
+    export_timed_to_h5(
+        variables["params"], variables["batch_stats"], d / "OTHER.h5"
+    )
+
+    def run(responses):
+        return _run_ui(monkeypatch, responses,
+                       argv=["--path_to_models", str(d),
+                             "--batch_size", "80"])
+
+    base = {
+        "Upload your backbone/PDB of interest": _Upload(ubq),
+        "Choose your Model": "TIMED",
+        "Design!": True,
+    }
+    # member runs first: their matrices pin the ensemble mean below
+    member_probs = {}
+    for name in ("TIMED", "OTHER"):
+        fake = run({**base, "Choose your Model": name})
+        assert "success" in fake.kinds()
+        probs = next(iter(fake.session_state["design_cache"].values()))[0][0]
+        member_probs[name] = np.asarray(probs, np.float64)
+
+    fake = run({**base,
+                "Ensemble: average several models (optional)":
+                    ["TIMED", "OTHER"]})
+    kinds = fake.kinds()
+    assert "success" in kinds and "error" not in kinds
+    succ = [a for k, a in fake.calls if k == "success"]
+    assert succ and "TIMED + OTHER ensemble" in succ[0]
+    probs = next(iter(fake.session_state["design_cache"].values()))[0][0]
+    want = (member_probs["TIMED"] + member_probs["OTHER"]) / 2.0
+    np.testing.assert_allclose(np.asarray(probs, np.float64), want,
+                               atol=2e-6)
+
+
+def test_ui_ensemble_single_pick_errors(monkeypatch, ubq, models_dir):
+    """Exactly one ensemble pick is ambiguous — a clear error, not a silent
+    single-model run under an 'ensemble' label."""
+    responses = {
+        "Upload your backbone/PDB of interest": _Upload(ubq),
+        "Choose your Model": "TIMED",
+        "Ensemble: average several models (optional)": ["TIMED"],
+        "Design!": True,
+    }
+    fake = _run_ui(monkeypatch, responses,
+                   argv=["--path_to_models", str(models_dir),
+                         "--batch_size", "80"])
+    errs = [a for k, a in fake.calls if k == "error"]
+    assert errs and "at least two" in errs[0]
+    assert "success" not in fake.kinds()

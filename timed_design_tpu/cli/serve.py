@@ -22,6 +22,11 @@ API (JSON):
                           endpoint/status, latency histograms, coalescer
                           batching stats per model.
 
+With several --model flags a request's "model" field picks one; --ensemble
+additionally serves a virtual "ensemble" model that voxelizes once and
+averages every member's probabilities (same-head models only — the serving
+counterpart of `td-predict --ensemble`).
+
 Threading: concurrent requests are COALESCED into shared device batches
 (engine/coalescer.py): a worker thread packs whatever requests are queued
 into one compiled program run and fans the results back, so under N
@@ -64,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optional collection window: wait this long for "
                         "more requests before launching a batch (default "
                         "0: run with whatever is queued)")
+    p.add_argument("--ensemble", action="store_true",
+                   help='also serve a virtual "ensemble" model that '
+                        "averages every loaded model's probabilities "
+                        "(needs >=2 --model with the same head; pick it "
+                        'with "model": "ensemble"). One voxelization per '
+                        "request — the frames ride each member's shared "
+                        "batches")
     return p
 
 
@@ -437,6 +449,24 @@ def make_server(designer, host: str, port: int, model_name: str,
     return ThreadingHTTPServer((host, port), Handler)
 
 
+def _add_ensemble(designers: dict) -> None:
+    """--ensemble: register the virtual averaging model under "ensemble".
+
+    Fails at startup, not on the first request: <2 models or a head/codec
+    mismatch makes the mean meaningless."""
+    from ..engine.coalescer import EnsembleDesigner
+
+    if "ensemble" in designers:
+        raise SystemExit(
+            'a model is already named "ensemble" — cannot add the '
+            "virtual ensemble designer"
+        )
+    try:
+        designers["ensemble"] = EnsembleDesigner(list(designers.values()))
+    except ValueError as e:
+        raise SystemExit(f"--ensemble: {e}") from None
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from ..engine import DesignSession
@@ -462,6 +492,8 @@ def main(argv=None) -> None:
         if name in designers:
             raise SystemExit(f"duplicate model name {name!r}")
         designers[name] = d
+    if args.ensemble:
+        _add_ensemble(designers)
     default_name = next(iter(designers))
     designer = designers[default_name]
     server = make_server(

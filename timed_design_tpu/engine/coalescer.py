@@ -110,6 +110,15 @@ class CoalescingDesigner:
             fa, session.codec, gaussian=session.gaussian
         )
         dt_vox = time.perf_counter() - t0
+        return self.submit_frames(frames, fa, dt_vox).result()
+
+    def submit_frames(self, frames, fa, dt_vox: float = 0.0) -> Future:
+        """Enqueue pre-voxelized frames; the returned Future resolves to
+        the same ``(probs, fa, timings)`` tuple ``design`` returns.
+
+        The non-blocking half of :meth:`design` — lets a caller fan ONE
+        voxelization out to several designers (the ensemble path) and wait
+        on all of them concurrently instead of serializing member waits."""
         fut: Future = Future()
         with self._close_lock:
             if self._closed:
@@ -117,7 +126,7 @@ class CoalescingDesigner:
                 # the caller forever on a future nothing will ever resolve
                 raise RuntimeError("CoalescingDesigner is closed")
             self._queue.put((frames, fa, fut, dt_vox))
-        return fut.result()
+        return fut
 
     def close(self) -> None:
         with self._close_lock:
@@ -271,6 +280,106 @@ class SerialDesigner:
                 timings["group_residues"],
             )
             return probs, fa, timings
+
+    def submit_frames(self, frames, fa, dt_vox: float = 0.0) -> Future:
+        """Synchronous counterpart of CoalescingDesigner.submit_frames —
+        runs under the lock and returns an already-resolved Future, so the
+        ensemble path works identically with coalescing disabled."""
+        fut: Future = Future()
+        try:
+            t0 = time.perf_counter()
+            with self._lock:
+                probs = self.session.predictor.predict_probs(frames)
+                n_res = int(np.asarray(probs).shape[0])
+                self.stats["requests"] += 1
+                self.stats["groups"] += 1
+                self.stats["max_group_residues"] = max(
+                    self.stats["max_group_residues"], n_res
+                )
+            timings = {
+                "voxelisation": dt_vox,
+                "prediction": time.perf_counter() - t0,
+                "group_requests": 1,
+                "group_residues": n_res,
+            }
+            fut.set_result((probs, fa, timings))
+        except BaseException as e:  # noqa: BLE001 - deliver to the waiter
+            fut.set_exception(e)
+        return fut
+
+    def close(self) -> None:
+        pass
+
+
+class EnsembleDesigner:
+    """A virtual designer that averages several same-head designers.
+
+    ``design`` voxelizes the structure ONCE (all members must share the
+    voxel spec — codec and Gaussian mode — or the mean would average
+    predictions over different inputs), fans the device-resident frames out
+    to every member's queue, waits on all futures concurrently, and returns
+    the float64-accumulated mean of the members' probability matrices. The
+    members keep coalescing their own traffic meanwhile — an ensemble
+    request's frames ride each member's shared batches like any other
+    request's. Serving counterpart of ``td-predict --ensemble``
+    (engine/predictor.py); the reference runs models only separately
+    (predict.py:114).
+
+    Members are NOT owned: ``close`` is a no-op so a server that lists the
+    members individually can close them exactly once.
+    """
+
+    def __init__(self, members: list):
+        members = list(members)
+        if len(members) < 2:
+            raise ValueError(
+                "ensemble needs at least two member models to average"
+            )
+        heads = {m.session.n_classes for m in members}
+        if len(heads) != 1:
+            raise ValueError(
+                "ensemble requires models with matching heads; got class "
+                f"counts {sorted(heads)} — mixing 20-residue and 338-rotamer "
+                "models cannot be averaged"
+            )
+        specs = {(m.session.codec, m.session.gaussian) for m in members}
+        if len(specs) != 1:
+            raise ValueError(
+                "ensemble members must share the voxel spec (codec + "
+                f"gaussian); got {sorted(map(str, specs))}"
+            )
+        self.members = members
+        self.session = members[0].session  # head/codec surface for callers
+        self._stats_lock = threading.Lock()
+        self.stats = {"requests": 0, "members": len(members)}
+
+    def design(self, structure) -> tuple[np.ndarray, t.Any, dict]:
+        from ..voxel import structure_to_frame_atoms, voxelize_frame_atoms
+
+        session = self.session
+        t0 = time.perf_counter()
+        fa = structure_to_frame_atoms(structure, session.codec)
+        frames = voxelize_frame_atoms(
+            fa, session.codec, gaussian=session.gaussian
+        )
+        dt_vox = time.perf_counter() - t0
+        futs = [m.submit_frames(frames, fa, dt_vox) for m in self.members]
+        results = [f.result() for f in futs]
+        probs = np.mean(
+            np.stack([np.asarray(p, np.float64) for p, _, _ in results]),
+            axis=0,
+        ).astype(np.float32)
+        timings = {
+            "voxelisation": dt_vox,
+            # members run concurrently; the slowest bounds the request
+            "prediction": max(tm["prediction"] for _, _, tm in results),
+            "ensemble_members": len(self.members),
+            "group_requests": max(tm["group_requests"] for _, _, tm in results),
+            "group_residues": max(tm["group_residues"] for _, _, tm in results),
+        }
+        with self._stats_lock:
+            self.stats["requests"] += 1
+        return probs, fa, timings
 
     def close(self) -> None:
         pass

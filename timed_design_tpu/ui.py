@@ -137,6 +137,13 @@ def _draw_sidebar(model_options: dict):
         )
         model_name = st.selectbox("Choose your Model",
                                   list(model_options.keys()))
+        ensemble_models = st.multiselect(
+            "Ensemble: average several models (optional)",
+            [m for m in model_options if m not in PROPERTY_MODELS],
+            help="Pick 2+ same-head models to average their probability "
+                 "matrices (overrides the single-model choice above). "
+                 "Property-constrained models can't join an ensemble.",
+        )
         nmr_all_states = st.checkbox(
             "Design all NMR states (consensus)", value=False,
             help="Voxelise every MODEL in the file and average predictions",
@@ -153,7 +160,8 @@ def _draw_sidebar(model_options: dict):
             temperature = st.slider("Temperature", 0.01, 5.0, 0.2)
         run = st.button("Design!", type="primary")
     return dict(pdb_code=pdb_code.lower(), uploaded=uploaded,
-                model_name=model_name, nmr_all_states=nmr_all_states,
+                model_name=model_name, ensemble_models=list(ensemble_models),
+                nmr_all_states=nmr_all_states,
                 demo_random=demo_random, do_mc=do_mc,
                 sample_n=int(sample_n), temperature=float(temperature),
                 run=run)
@@ -496,7 +504,17 @@ def main(argv=None):  # noqa: C901 - UI flow
     full_residue_map, full_native_seq = create_residue_map(structure)
 
     model_name = cfg["model_name"]
-    spec = MODEL_REGISTRY.get(model_name)
+    # 2+ picks in the ensemble multiselect override the single-model choice
+    # (property models are excluded from its options: their constraint
+    # widgets rewrite the structure per model, which cannot be averaged)
+    ensemble = cfg.get("ensemble_models") or []
+    if len(ensemble) == 1:
+        st.error("Ensemble needs at least two models — add another or "
+                 "clear the selection.")
+        return
+    model_list = list(ensemble) if ensemble else [model_name]
+    if ensemble:
+        model_name = " + ".join(model_list)
     prop = PROPERTY_MODELS.get(model_name)
     if prop is not None:
         import copy
@@ -517,39 +535,49 @@ def main(argv=None):  # noqa: C901 - UI flow
         ]
         structure = states[0]
 
-    h5_path = model_options.get(model_name)
-    model_arg: object = str(h5_path) if h5_path else model_name
-    if h5_path is None and not cfg["demo_random"]:
-        st.error(
-            f"No weights found for {model_name} under {models_dir} — place "
-            f"{model_name}.h5 there, or tick 'Demo mode (random weights)'."
-        )
-        return
-
     import hashlib
     import time
 
-    session_key = f"session::{model_arg}"
-    if session_key not in st.session_state:
-        try:
-            st.session_state[session_key] = DesignSession(
-                model_arg, codec=spec.codec if spec else None,
-                batch_size=args.batch_size,
-                allow_random_weights=cfg["demo_random"],
+    sessions: list[tuple[str, object]] = []  # (model_arg, DesignSession)
+    for name in model_list:
+        h5_path = model_options.get(name)
+        model_arg = str(h5_path) if h5_path else name
+        if h5_path is None and not cfg["demo_random"]:
+            st.error(
+                f"No weights found for {name} under {models_dir} — place "
+                f"{name}.h5 there, or tick 'Demo mode (random weights)'."
             )
-        except ValueError as e:
-            st.error(str(e))
             return
-    session = st.session_state[session_key]
-    if h5_path is None:
-        st.warning(f"Demo mode: {model_name} runs with RANDOM weights — "
-                   "outputs are not real designs.")
+        m_spec = MODEL_REGISTRY.get(name)
+        session_key = f"session::{model_arg}"
+        if session_key not in st.session_state:
+            try:
+                st.session_state[session_key] = DesignSession(
+                    model_arg, codec=m_spec.codec if m_spec else None,
+                    batch_size=args.batch_size,
+                    allow_random_weights=cfg["demo_random"],
+                )
+            except ValueError as e:
+                st.error(str(e))
+                return
+        sessions.append((model_arg, st.session_state[session_key]))
+        if h5_path is None:
+            st.warning(f"Demo mode: {name} runs with RANDOM weights — "
+                       "outputs are not real designs.")
+    session = sessions[-1][1]
+    if len({s.n_classes for _, s in sessions}) != 1:
+        st.error(
+            "Ensemble members must share the output head — mixing "
+            "20-residue and 338-rotamer models cannot be averaged."
+        )
+        return
 
     # Memoize the design on its actual inputs (model, structure coords,
     # property map) so reruns from widget interaction redraw instantly and
     # only a changed constraint recomputes.
     fp = hashlib.md5()
-    fp.update(str(model_arg).encode())
+    for arg, _ in sessions:
+        fp.update(str(arg).encode())
     for s in states:
         fp.update(s.name.encode())
         fp.update(s.sequence1().encode())  # property constraints rewrite identities
@@ -562,8 +590,19 @@ def main(argv=None):  # noqa: C901 - UI flow
     else:
         per_state = []
         for s in states:
-            p, fa = session.design(s)
-            per_state.append((np.asarray(p), fa))
+            # ensemble: every member designs the same state (each with its
+            # own codec/voxelization) and the float64 mean becomes the
+            # state's probability matrix; a single model passes through
+            member_ps, fa = [], None
+            for _, sess in sessions:
+                p, fa = sess.design(s)
+                member_ps.append(np.asarray(p, np.float64))
+            p = (
+                np.mean(member_ps, axis=0).astype(np.float32)
+                if len(member_ps) > 1
+                else member_ps[0].astype(np.float32)
+            )
+            per_state.append((p, fa))
         per_state_probs, native_seq, residue_map = _aligned_design_outputs(
             per_state
         )
@@ -584,6 +623,7 @@ def main(argv=None):  # noqa: C901 - UI flow
     timings = session.last_timings
     st.success(
         f"Designed {len(designed_seq)} residues"
+        + (f" with the {model_name} ensemble" if ensemble else "")
         + (f" over {len(states)} NMR states" if len(states) > 1 else "")
         + f" in {t_pred:.2f}s (last state: voxelisation "
           f"{timings['voxelisation']:.2f}s, prediction "
