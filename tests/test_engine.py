@@ -344,6 +344,25 @@ def test_ensemble_validation_fails_fast(tmp_path, ubq_h5):
         )
 
 
+def test_head_vs_rotamer_flag_fails_fast(tmp_path, ubq_h5):
+    """The emit path is head-global: a 338-head model without
+    predict_rotamers (or a 20-head model with it) must raise BEFORE any
+    frame streams instead of crashing in decode / silently mis-mapping
+    argmaxes through ROTAMER_TO_AA_ONEHOT."""
+    with pytest.raises(ValueError, match="338-rotamer head"):
+        load_dataset_and_predict(
+            ["TIMED", "TIMED_rotamer_not_so_deep"], ubq_h5, batch_size=32,
+            path_to_output=tmp_path, dataset_map_path=tmp_path / "dm.txt",
+            allow_random_weights=True,
+        )
+    with pytest.raises(ValueError, match="expected 338"):
+        load_dataset_and_predict(
+            ["TIMED"], ubq_h5, batch_size=32, predict_rotamers=True,
+            path_to_output=tmp_path, dataset_map_path=tmp_path / "dm.txt",
+            allow_random_weights=True,
+        )
+
+
 @pytest.mark.slow
 def test_ensemble_outputs_mean_of_members(tmp_path, ubq_h5):
     """ensemble=True emits the full artifact set under 'ensemble', whose

@@ -437,6 +437,26 @@ def load_dataset_and_predict(
                 f"counts {sorted(heads)} — mixing 20-residue and 338-rotamer "
                 "models cannot be averaged"
             )
+    # fail before streaming: the emit path is head-global (338-rotamer CSVs
+    # + argmax-collapse vs 20-class decode), so every model must match the
+    # predict_rotamers flag — a 338-head model decoded as 20-class indexes
+    # past the amino-acid alphabet, and a 20-head model under rotamer mode
+    # runs its argmax through ROTAMER_TO_AA_ONEHOT with the wrong semantics
+    # (silent garbage). The reference has the same implicit contract
+    # (predict.py:120-142) but dies opaquely instead.
+    for p, (_, name) in zip(predictors, resolved_models):
+        if predict_rotamers and p.n_classes != 338:
+            raise ValueError(
+                f"predict_rotamers=True but model {name!r} has a "
+                f"{p.n_classes}-class head (expected 338). Run 20-class "
+                "models in a separate invocation without --predict_rotamers."
+            )
+        if not predict_rotamers and p.n_classes == 338:
+            raise ValueError(
+                f"model {name!r} has a 338-rotamer head; pass "
+                "--predict_rotamers (or run it separately from 20-class "
+                "models — the artifact format is per-run)."
+            )
 
     loader = FrameBatchLoader(
         dataset_path, dmap, batch_size=predictors[0].batch_size,
