@@ -100,6 +100,34 @@ def test_prediction_csv_float16_roundtrip(tmp_path):
     assert p2.name == "TIMED_rot.csv"
 
 
+def test_float16_csv_fast_writer_byte_parity():
+    """The table-gather float16 CSV writer must be byte-identical to
+    np.savetxt('%.18e') — including zeros, ones, subnormals, and the f16
+    max; negatives/non-finite rows must refuse (caller falls back)."""
+    import io as _io
+
+    from timed_design_tpu.io.writers import write_float16_csv
+
+    rng = np.random.default_rng(3)
+    cases = [
+        rng.random((40, 20)),
+        np.array([[0.0, 1.0, 6e-8, 65504.0, 5.96e-8, 0.1]]),  # edges
+        np.full((3, 5), 1 / 3),
+    ]
+    for data in cases:
+        f16 = np.asarray(data, np.float16)
+        buf_ref = _io.BytesIO()
+        np.savetxt(buf_ref, f16, delimiter=",")
+        buf_fast = _io.BytesIO()
+        assert write_float16_csv(buf_fast, data)
+        assert buf_fast.getvalue() == buf_ref.getvalue()
+    for bad in (np.array([[0.5, -0.1]]), np.array([[np.nan, 0.5]]),
+                np.array([[np.inf, 0.5]])):
+        buf = _io.BytesIO()
+        assert not write_float16_csv(buf, bad)
+        assert buf.getvalue() == b""
+
+
 def test_fasta_writer(tmp_path):
     p = save_dict_to_fasta({"1abcA": "MKV", "2xyzB": "GG"}, "TIMED", tmp_path)
     assert p.read_text() == ">1abcA\nMKV\n>2xyzB\nGG\n"

@@ -17,125 +17,24 @@ does not depend on the reference tree).
 """
 from __future__ import annotations
 
-import sys
-import types
 from pathlib import Path
 
 import numpy as np
 import pytest
 
-REFERENCE = Path("/root/reference")
+from tests.reference_shim import reference_available, reference_modules
+
 pytestmark = pytest.mark.skipif(
-    not (REFERENCE / "design_utils" / "utils.py").exists(),
-    reason="reference tree not available",
+    not reference_available(), reason="reference tree not available"
 )
 
 
 @pytest.fixture(scope="module")
 def ref():
-    """Import design_utils.utils + sampling_utils with table shims."""
-    # NEVER write bytecode into the read-only reference tree
-    sys.dont_write_bytecode = True
-
-    from timed_design_tpu.constants import (
-        AA1,
-        AA3,
-        CHI_COUNTS,
-        POLARITY_ZIMMERMAN,
-        RESIDUE_CHARGE,
-        UNCOMMON_RESIDUE_DICT,
-    )
-
-    ampal = types.ModuleType("ampal")
-    # attributes touched at module import time (type annotations evaluated
-    # eagerly in the reference's function signatures)
-    ampal.Assembly = type("Assembly", (), {})
-    ampal.AmpalContainer = type("AmpalContainer", (), {})
-    ampal.Polypeptide = type("Polypeptide", (), {})
-    ampal.Polymer = type("Polymer", (), {})
-    ampal.load_pdb = lambda *a, **k: (_ for _ in ()).throw(
-        RuntimeError("ampal not available in tests")
-    )
-    aa_mod = types.ModuleType("ampal.amino_acids")
-    aa_mod.standard_amino_acids = dict(zip(AA1, AA3))
-    aa_mod.side_chain_dihedrals = {
-        res: [f"chi{i}" for i in range(CHI_COUNTS[res])]
-        for res in AA3
-        if CHI_COUNTS[res] > 0
-    }
-    aa_mod.polarity_Zimmerman = dict(POLARITY_ZIMMERMAN)
-    aa_mod.residue_charge = dict(RESIDUE_CHARGE)
-    ampal.amino_acids = aa_mod
-
-    apost = types.ModuleType("aposteriori")
-    apost_cfg = types.ModuleType("aposteriori.config")
-    apost_cfg.MAKE_FRAME_DATASET_VER = "2.0.0"
-    apost_cfg.UNCOMMON_RESIDUE_DICT = dict(UNCOMMON_RESIDUE_DICT)
-    apost_dp = types.ModuleType("aposteriori.data_prep")
-    apost_cf = types.ModuleType("aposteriori.data_prep.create_frame_data_set")
-    apost_cf.DatasetMetadata = type("DatasetMetadata", (), {})
-    apost_cf._fetch_pdb = lambda *a, **k: (_ for _ in ()).throw(
-        RuntimeError("no network in tests")
-    )
-    apost.config = apost_cfg
-    apost.data_prep = apost_dp
-    apost_dp.create_frame_data_set = apost_cf
-
-    # the REAL analyse_utils imports ampal.analyse_protein sequence metrics
-    # (shimmed with our implementations — those four are separately
-    # parity-anchored by tests/test_sampling.py's invariants) and logomaker
-    # (plot library, shimmed inert: no oracle test exercises logos)
-    ap_mod = types.ModuleType("ampal.analyse_protein")
-    from timed_design_tpu.sample.metrics import (
-        sequence_charge,
-        sequence_isoelectric_point,
-        sequence_molar_extinction_280,
-        sequence_molecular_weight,
-    )
-
-    ap_mod.sequence_charge = sequence_charge
-    ap_mod.sequence_isoelectric_point = sequence_isoelectric_point
-    ap_mod.sequence_molar_extinction_280 = sequence_molar_extinction_280
-    ap_mod.sequence_molecular_weight = sequence_molecular_weight
-    ampal.analyse_protein = ap_mod
-    logomaker = types.ModuleType("logomaker")
-    logomaker.Logo = type("Logo", (), {"__init__": lambda self, *a, **k: None})
-
-    shims = {
-        "ampal": ampal,
-        "ampal.amino_acids": aa_mod,
-        "ampal.analyse_protein": ap_mod,
-        "aposteriori": apost,
-        "aposteriori.config": apost_cfg,
-        "aposteriori.data_prep": apost_dp,
-        "aposteriori.data_prep.create_frame_data_set": apost_cf,
-        "logomaker": logomaker,
-    }
-    saved = {k: sys.modules.get(k) for k in shims}
-    sys.modules.update(shims)
-    sys.path.insert(0, str(REFERENCE))
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import design_utils.analyse_utils as ref_analyse
-        import design_utils.sampling_utils as ref_sampling
-        import design_utils.utils as ref_utils
-
-        yield types.SimpleNamespace(
-            utils=ref_utils, sampling=ref_sampling, analyse=ref_analyse
-        )
-    finally:
-        sys.path.remove(str(REFERENCE))
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
-        for k in ("design_utils", "design_utils.utils",
-                  "design_utils.sampling_utils", "design_utils.scwrl_utils",
-                  "design_utils.analyse_utils"):
-            sys.modules.pop(k, None)
+    """Import design_utils.utils + sampling_utils with table shims
+    (tests/reference_shim.py — shared with the composed-pipeline oracle)."""
+    with reference_modules() as ns:
+        yield ns
 
 
 # ------------------------------------------------------------------ codec

@@ -8,9 +8,11 @@ TPU-native redesign of the reference's core engine `load_dataset_and_predict`
   * frames stream through a prefetching loader (io/h5frames.py) with
     host->device transfer overlapped with compute, instead of reopening the
     HDF5 file per batch (utils.py:514 — the reference's I/O bottleneck);
-  * probabilities accumulate on host in float32 and are written once per
-    model, not appended CSV per batch (the append-mode resume behavior is
-    kept via ``start_batch``);
+  * probability CSVs stream to disk per drained batch (the reference's own
+    append-mode format, resume-compatible via ``start_batch``); the host
+    keeps only the float16 decode matrix per model plus one float64
+    running sum for ``--ensemble`` — bounded at the reference's
+    million-frame benchmark scale;
   * multi-chip: the batch axis shards over a `Mesh`'s data axis (weights
     replicated) — the idiomatic replacement for the reference's absent
     multi-device path.
@@ -22,6 +24,7 @@ precision), `encoded_labels.csv`, `datasetmap.txt`, SRB `{model}.txt`,
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import typing as t
 from pathlib import Path
@@ -41,7 +44,6 @@ from ..io import (
     save_consensus_probs,
     save_datasetmap,
     save_dict_to_fasta,
-    save_encoded_labels,
     save_prediction_csv,
     save_srb_datasetmap,
 )
@@ -458,63 +460,135 @@ def load_dataset_and_predict(
                 "models — the artifact format is per-run)."
             )
 
-    loader = FrameBatchLoader(
-        dataset_path, dmap, batch_size=predictors[0].batch_size,
-        start_batch=start_batch,
-    )
-    labels_parts: list[np.ndarray] = []
-    probs_parts: list[list[np.ndarray]] = [[] for _ in predictors]
-    with timer.phase("predict"):
-        # pipelined: loader prefetch, H2D, compute, and fetch overlap;
-        # in-flight dispatch groups shrink as the model count grows so HBM
-        # stays bounded
-        from collections import deque
-
-        pending: deque = deque()
-        max_in_flight = max(2, 8 // len(predictors))
-
-        def _drain_one():
-            outs, n = pending.popleft()
-            for i, out in enumerate(outs):
-                probs_parts[i].append(np.asarray(out)[:n])
-
-        for X, y, n_valid in loader:
-            labels_parts.append(y[:n_valid])
-            x_dev = predictors[0].to_device(X[:n_valid])
-            pending.append(
-                ([p.run_device_batch(x_dev) for p in predictors], n_valid)
-            )
-            if len(pending) >= max_in_flight:
-                _drain_one()
-        while pending:
-            _drain_one()
-    y_true = np.concatenate(labels_parts) if labels_parts else np.zeros((0, 20))
-
     # append on resume so earlier batches' rows survive (the reference's
     # append-mode CSVs, predict.py:145); truncate on fresh runs so a
     # stale file can't duplicate rows
     resuming = start_batch > 0
 
-    def _emit_outputs(probs, model_name, *, append, read_back):
-        """Write one model's full artifact set and decode its sequences.
+    loader = FrameBatchLoader(
+        dataset_path, dmap, batch_size=predictors[0].batch_size,
+        start_batch=start_batch,
+    )
+    # --- scale-safe accumulation (the reference streams append-mode per
+    # batch, predict.py:145; holding every model's float32 matrix PLUS
+    # float64 ensemble copies crashed at its benchmark scale — 3 rotamer
+    # models over 1M frames is ~8 GB before an np.stack doubles it):
+    #   * probability CSVs stream to disk per drained batch (bytes
+    #     identical — np.savetxt appends are the reference's own format);
+    #   * decode keeps only the float16 matrix it needs anyway
+    #     (float16_decode default; 2 bytes/value, half the old peak);
+    #   * --ensemble accumulates ONE float64 running sum in place —
+    #     no per-member float64 copies, no stack.
+    # Peak host memory: n_models x N x C x 2B (f16) + N x C x 8B when
+    # ensembling — ~2.4 GB for 3 rotamer models over 500k frames.
+    n_models = len(predictors)
+    n_classes = predictors[0].n_classes
+    decode_parts: list[list[np.ndarray]] = [[] for _ in predictors]
+    ens_sum: np.ndarray | None = None
+    ens_off = 0
+    if ensemble and not resuming:
+        ens_sum = np.zeros((dmap.n_residues, n_classes), np.float64)
 
+    class _ModelCSVStream:
+        """Per-model append writer: the raw matrix (full precision in
+        rotamer mode, float16 otherwise) + the rotamer argmax one-hots."""
+
+        def __init__(self, model_name: str):
+            mode = "ab" if resuming else "wb"
+            self.main_path = path_to_output / (
+                f"{model_name}_rot.csv" if predict_rotamers
+                else f"{model_name}.csv"
+            )
+            self._main = open(self.main_path, mode)
+            self._onehot = (
+                open(path_to_output / f"{model_name}.csv", mode)
+                if predict_rotamers
+                else None
+            )
+
+        def write(self, rows: np.ndarray) -> None:
+            from ..io.writers import write_prediction_rows
+
+            if predict_rotamers:
+                write_prediction_rows(self._main, rows, float16=False)
+                onehot = ROTAMER_TO_AA_ONEHOT[rows.argmax(axis=1)]
+                write_prediction_rows(self._onehot, onehot, float16=True)
+            else:
+                write_prediction_rows(self._main, rows, float16=True)
+
+        def close(self) -> None:
+            self._main.close()
+            if self._onehot is not None:
+                self._onehot.close()
+
+    streams = [_ModelCSVStream(name) for _, name in resolved_models]
+    labels_file = open(
+        path_to_output / "encoded_labels.csv", "a" if resuming else "w"
+    )
+    try:
+        with timer.phase("predict"):
+            # pipelined: loader prefetch, H2D, compute, and fetch overlap;
+            # in-flight dispatch groups shrink as the model count grows so
+            # HBM stays bounded
+            from collections import deque
+
+            pending: deque = deque()
+            max_in_flight = max(2, 8 // n_models)
+
+            def _drain_one():
+                nonlocal ens_off
+                outs, y, n = pending.popleft()
+                np.savetxt(labels_file, y[:n].astype(np.int64),
+                           delimiter=",", fmt="%i")
+                for i, out in enumerate(outs):
+                    rows = np.asarray(out)[:n]
+                    streams[i].write(rows)
+                    decode_parts[i].append(
+                        rows.astype(np.float16) if float16_decode else rows
+                    )
+                    if ens_sum is not None:
+                        ens_sum[ens_off : ens_off + n] += rows
+                ens_off += n
+
+            for X, y, n_valid in loader:
+                x_dev = predictors[0].to_device(X[:n_valid])
+                pending.append(
+                    ([p.run_device_batch(x_dev) for p in predictors],
+                     y, n_valid)
+                )
+                if len(pending) >= max_in_flight:
+                    _drain_one()
+            while pending:
+                _drain_one()
+    finally:
+        labels_file.close()
+        for s in streams:
+            s.close()
+
+    def _emit_outputs(probs, model_name, *, read_back, write_csv=False,
+                      main_csv=None):
+        """Decode one model's matrix and write its non-streamed artifacts.
+
+        The probability CSVs were streamed during prediction; ``write_csv``
+        is only for the ensemble matrix (computed after the stream).
         Returns (decoded, full_probs) where full_probs covers ALL residues
         even on resume (re-read from the appended CSV, the reference's own
         flow at predict.py:163)."""
         with timer.phase("write"):
-            if predict_rotamers:
-                main_csv = save_prediction_csv(
-                    probs, model_name, path_to_output, append=append,
-                    float16=False, rotamer=True,
-                )
-                onehot20 = ROTAMER_TO_AA_ONEHOT[probs.argmax(axis=1)]
-                save_prediction_csv(onehot20, model_name, path_to_output,
-                                    append=append, float16=True)
-            else:
-                main_csv = save_prediction_csv(
-                    probs, model_name, path_to_output, append=append,
-                    float16=True,
-                )
+            if write_csv:
+                if predict_rotamers:
+                    main_csv = save_prediction_csv(
+                        probs, model_name, path_to_output, append=False,
+                        float16=False, rotamer=True,
+                    )
+                    onehot20 = ROTAMER_TO_AA_ONEHOT[probs.argmax(axis=1)]
+                    save_prediction_csv(onehot20, model_name, path_to_output,
+                                        append=False, float16=True)
+                else:
+                    main_csv = save_prediction_csv(
+                        probs, model_name, path_to_output, append=False,
+                        float16=True,
+                    )
             save_srb_datasetmap(dmap, model_name, path_to_output)
 
         with timer.phase("decode"):
@@ -531,10 +605,17 @@ def load_dataset_and_predict(
                         "residues — was --start_batch consistent with the "
                         "previous run's batch size?"
                     )
+            # the reference decodes from a float16 re-read of its CSV
+            # (predict.py:163) and keeps that dtype all the way through —
+            # including the NMR consensus (prev+cur)/2 accumulation, which
+            # therefore rounds to float16 at every step (utils.py:694-713).
+            # An upcast to float64 here preserved argmaxes but drifted the
+            # consensus values (caught by the composed-pipeline byte-diff,
+            # tests/test_reference_pipeline_e2e.py).
             decode_probs = probs.astype(np.float16) if float16_decode else probs
             decoded = extract_sequences(
                 dmap,
-                decode_probs.astype(np.float64),
+                decode_probs,
                 rotamer_categories=ROTAMER_CATEGORIES if predict_rotamers else None,
                 is_consensus=is_consensus,
             )
@@ -552,43 +633,81 @@ def load_dataset_and_predict(
         return decoded, probs
 
     result: PredictionResult | None = None
-    member_probs: list[np.ndarray] = []
     for model_i, (predictor, (_, model_name)) in enumerate(
         zip(predictors, resolved_models)
     ):
         probs = (
-            np.concatenate(probs_parts[model_i])
-            if probs_parts[model_i]
-            else np.zeros((0, predictor.n_classes))
+            np.concatenate(decode_parts[model_i])
+            if decode_parts[model_i]
+            else np.zeros(
+                (0, predictor.n_classes),
+                np.float16 if float16_decode else np.float32,
+            )
         )
-        if model_i == 0:
-            with timer.phase("write"):
-                save_encoded_labels(
-                    y_true.astype(np.int64), path_to_output, append=resuming
-                )
+        decode_parts[model_i] = []  # free as each model finishes decoding
         decoded, full_probs = _emit_outputs(
-            probs, model_name, append=resuming, read_back=resuming
+            probs, model_name, read_back=resuming,
+            main_csv=streams[model_i].main_path,
         )
-        if ensemble:
-            member_probs.append(np.asarray(full_probs, dtype=np.float64))
+        if ensemble and resuming:
+            # the streamed rows only cover start_batch..; the read-back
+            # matrix is the full one — accumulate it in place (float64,
+            # no per-member copies kept)
+            m = np.asarray(full_probs, dtype=np.float64)
+            ens_sum = m if ens_sum is None else ens_sum + m
         result = PredictionResult(
             dmap, *decoded.astuple(), timings=timer.summary()
         )
     assert result is not None, "no models given"
 
     if ensemble:
-        # host-side mean of the full-precision matrices (the float16 lives
-        # only in the per-model CSVs); the ensemble CSV is always written
-        # fresh — its members' matrices are already complete on resume
-        mean_probs = np.mean(np.stack(member_probs, axis=0), axis=0)
+        # one float64 running sum -> mean; fresh runs accumulated the full-
+        # precision float32 device outputs during the stream, resumed runs
+        # the CSV read-backs (the members' matrices as the reference would
+        # see them, predict.py:163). The ensemble CSV is always written
+        # fresh — its member sums are complete either way.
+        mean_probs = ens_sum / n_models
         decoded, _ = _emit_outputs(
             mean_probs, "ensemble" + model_name_suffix,
-            append=False, read_back=False,
+            read_back=False, write_csv=True,
         )
         result = PredictionResult(
             dmap, *decoded.astuple(), timings=timer.summary()
         )
     return result
+
+
+def _structure_model_key(model) -> tuple:
+    """Stable identity for a ``predict_structure`` model argument.
+
+    Path-like models key on (string, mtime, size) so an updated weights/
+    checkpoint file is re-resolved; in-memory models key on object ids —
+    safe only because the cache entry keeps a strong reference to the
+    keyed objects (ids cannot be reused while the entry lives).
+    """
+    if isinstance(model, (str, Path)):
+        s = str(model)
+        p = Path(s.split("@", 1)[1]) if "@" in s else Path(s)
+        try:
+            st = p.stat()
+            return ("path", s, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return ("name", s)  # bare registry name
+    if isinstance(model, tuple):
+        return ("obj",) + tuple(id(x) for x in model)
+    return ("obj", id(model))
+
+
+# (key, batch_size, mesh-id) -> (Predictor, model_name, strong refs).
+# Library users looping structures through this documented no-HDF5 path
+# paid a FULL recompile per call (every Predictor jits afresh) — ~20-40 s
+# per structure on a cold tunnel for a millisecond forward. Bounded LRU:
+# model zoo sweeps over a handful of models stay warm, and entries pin
+# their key objects so id()-keys stay valid.
+_STRUCTURE_PREDICTOR_CACHE: collections.OrderedDict = (
+    collections.OrderedDict()
+)
+_STRUCTURE_PREDICTOR_CAPACITY = 4
 
 
 def predict_structure(
@@ -605,15 +724,35 @@ def predict_structure(
     The no-HDF5 fast path (the UI's interactive flow, ui.py:916-947, without
     the intermediate dataset file): voxelization and CNN run back-to-back on
     device. Returns (probs (R, n_classes), FrameAtoms).
+
+    Consecutive calls with the same (model, batch_size, mesh) reuse one
+    compiled Predictor (LRU of 4) — no per-call recompile.
     """
     from ..structure import Structure, load_pdb
     from ..voxel import Codec, structure_to_frame_atoms, voxelize_frame_atoms
 
     if not isinstance(structure_or_path, Structure):
         structure_or_path = load_pdb(Path(structure_or_path))
-    resolved, model_name = _resolve_model(
-        model, allow_random_weights=allow_random_weights
+    cache_key = (
+        _structure_model_key(model),
+        batch_size,
+        id(mesh) if mesh is not None else None,
     )
+    hit = _STRUCTURE_PREDICTOR_CACHE.get(cache_key)
+    if hit is not None:
+        predictor, model_name = hit[0], hit[1]
+        _STRUCTURE_PREDICTOR_CACHE.move_to_end(cache_key)
+    else:
+        resolved, model_name = _resolve_model(
+            model, allow_random_weights=allow_random_weights
+        )
+        predictor = Predictor(resolved, batch_size=batch_size, mesh=mesh,
+                              model_name=model_name)
+        _STRUCTURE_PREDICTOR_CACHE[cache_key] = (
+            predictor, model_name, model, mesh,
+        )
+        while len(_STRUCTURE_PREDICTOR_CACHE) > _STRUCTURE_PREDICTOR_CAPACITY:
+            _STRUCTURE_PREDICTOR_CACHE.popitem(last=False)
     if codec is None:
         # registry models know their codec (TIMED_Charge needs the 6-channel
         # CNOCACBQ — hardcoding CNOCACB here built 5-channel frames for it);
@@ -626,7 +765,5 @@ def predict_structure(
         codec = Codec.from_string(codec)
     fa = structure_to_frame_atoms(structure_or_path, codec)
     frames = voxelize_frame_atoms(fa, codec, gaussian=gaussian)
-    predictor = Predictor(resolved, batch_size=batch_size, mesh=mesh,
-                          model_name=model_name)
     probs = predictor.predict_probs(frames)  # device-resident, no roundtrip
     return probs, fa
