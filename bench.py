@@ -215,8 +215,27 @@ def device_checks() -> list[dict]:
     np.testing.assert_allclose(freq[0], 0.5, atol=0.01)
     np.testing.assert_allclose(freq[3], 0.25, atol=0.01)
     np.testing.assert_allclose(freq[7], 0.25, atol=0.01)
+
+    # Length-chunked grid (round 4): a multi-chain-biounit length (4096 >
+    # the 1024-position length block) must stay on the fused path with
+    # correct per-position distributions on BOTH sides of a block boundary,
+    # and remain deterministic per seed.
+    p3 = np.tile(np.array([[0.6, 0.4] + [0.0] * 18], np.float32), (4096, 1))
+    long_a = np.asarray(
+        pallas_sample_class_indices(jnp.int32(21), jnp.asarray(p3), 2000)
+    )
+    long_b = np.asarray(
+        pallas_sample_class_indices(jnp.int32(21), jnp.asarray(p3), 2000)
+    )
+    np.testing.assert_array_equal(long_a, long_b)
+    assert long_a.shape == (2000, 4096)
+    for pos in (0, 1023, 1024, 4095):  # straddle the l-block boundary
+        f = np.bincount(long_a[:, pos], minlength=20) / long_a.shape[0]
+        np.testing.assert_allclose(f[:2], [0.6, 0.4], atol=0.04)
+    # distinct streams across length blocks (no seed aliasing between them)
+    assert (long_a[:, 0] != long_a[:, 1024]).any()
     return [
-        {"metric": "pallas_device_checks_passed", "value": 3, "unit": "checks",
+        {"metric": "pallas_device_checks_passed", "value": 4, "unit": "checks",
          "vs_baseline": 1.0}
     ]
 

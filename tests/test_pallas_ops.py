@@ -54,18 +54,25 @@ def test_pallas_sampler_statistical():
 
 
 def test_pallas_viability_bounds():
-    """Typical design shapes use the kernel; very long sequences (whose
-    minimum-block compare chunk overflows scoped VMEM) must fall back."""
+    """Typical design shapes use the kernel, and since the length-chunked
+    grid (round 4) so do arbitrarily long multi-chain biounits — BASELINE
+    config #4 shapes no longer fall back. Only an absurd class width (whose
+    (Lb, Cp) CDF block overflows the resident VMEM budget) disqualifies."""
     from timed_design_tpu.ops.pallas_sample import pallas_sampling_viable
 
     assert pallas_sampling_viable(76, 338)
     assert pallas_sampling_viable(500, 20)
-    assert not pallas_sampling_viable(4096, 338)
+    assert pallas_sampling_viable(4096, 338)  # multi-chain biounit length
+    assert pallas_sampling_viable(100_000, 338)
+    assert not pallas_sampling_viable(4096, 5000)  # class width, not length
 
 
 def test_auto_dispatch_long_sequence_uses_xla():
-    """The auto path must not hand a VMEM-overflowing shape to Pallas —
-    even on TPU it falls back to XLA (on CPU both paths are XLA)."""
+    """Long sequences route to XLA on every backend — a MEASURED policy,
+    not a capability gap: the length-chunked kernel handles any L (see
+    test_pallas_viability_bounds + the bench.py device check), but at
+    L=4096 XLA's fused compare/argmax is ~5x faster on device
+    (BASELINE.md §samplers), so the auto path dispatches there."""
     from timed_design_tpu.sample.sampler import (
         sample_class_indices,
         sample_class_indices_auto,

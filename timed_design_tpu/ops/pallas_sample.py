@@ -8,12 +8,21 @@ semantics as the reference sampler (sampling_utils.py:81-82) and the XLA
 path, so the 1e6-draw statistical test applies to both.
 
 VMEM discipline: the naive (block, L, C) compare tensor OOMs scoped VMEM
-already at L~80, C=384 (16 MB limit). The kernel instead accumulates counts
-over 128-class chunks with a `fori_loop`, and the sample-block size adapts
-to L so the live (block, L, 128) chunk stays under ~4 MB.
+already at L~80, C=384 (16 MB limit). The kernel streams BOTH wide axes:
+classes are accumulated over 128-lane chunks with a `fori_loop`, and the
+grid carries a second dimension over length blocks of `_L_BLOCK` positions,
+so arbitrarily long multi-chain designs (BASELINE config #4) keep the fused
+path instead of falling back to XLA. The sample-block size adapts to the
+length block so the live (block, Lb, 128) chunk stays under ~4 MB.
 
 Layout: C pads to a multiple of 128 (lanes) with CDF=2.0 so padded classes
-are never selected; L pads to a multiple of 8 (sublanes).
+are never selected; L pads to a multiple of 8 (sublanes), then to a multiple
+of `_L_BLOCK` when length-chunking engages (Lp > _L_BLOCK).
+
+Determinism: draws are a pure function of (seed, shape). Each grid program
+seeds its PRNG with murmur3(seed, flat_program_index); for Lp <= _L_BLOCK
+there is a single length block, the flat index equals the sample-block
+index, and the streams are bit-identical to the pre-chunking kernel.
 """
 from __future__ import annotations
 
@@ -25,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _CLASS_CHUNK = 128
+_L_BLOCK = 1024  # length-block: equals the old single-block viability bound
 _VMEM_BUDGET = 4 * 1024 * 1024  # bytes for the live compare chunk
 
 
@@ -32,43 +42,39 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_block(Lp: int) -> int:
-    """Largest multiple-of-8 sample block whose (block, Lp, 128) compare
+def _pick_block(Lb: int) -> int:
+    """Largest multiple-of-8 sample block whose (block, Lb, 128) compare
     chunk fits the VMEM budget; clamped to [8, 256]."""
-    block = _VMEM_BUDGET // (Lp * _CLASS_CHUNK * 4)
+    block = _VMEM_BUDGET // (Lb * _CLASS_CHUNK * 4)
     return max(8, min(256, (block // 8) * 8))
 
 
 def pallas_sampling_viable(L: int, C: int) -> bool:
-    """True when the kernel's VMEM working set fits at the minimum block
-    size of 8. Beyond this (very long multi-chain designs, Lp ~ 2048+) the
-    (8, Lp, 128) compare chunk alone would blow the scoped-VMEM limit —
-    callers must use the XLA formulation instead."""
-    Lp = _round_up(max(L, 8), 8)
+    """True when the kernel's per-program VMEM working set fits. Length no
+    longer bounds viability (the grid chunks L in `_L_BLOCK` blocks); only a
+    class width whose (Lb, Cp) CDF block would overflow the resident budget
+    disqualifies — far beyond the domain's 338-class maximum."""
+    Lb = min(_round_up(max(L, 8), 8), _L_BLOCK)
     Cp = _round_up(max(C, _CLASS_CHUNK), _CLASS_CHUNK)
-    return (
-        _VMEM_BUDGET // (Lp * _CLASS_CHUNK * 4) >= 8
-        and Lp * Cp * 4 <= 2 * _VMEM_BUDGET  # resident (Lp, Cp) cdf block
-    )
+    return Lb * Cp * 4 <= 2 * _VMEM_BUDGET  # resident (Lb, Cp) cdf block
 
 
-def _make_kernel(Lp: int, Cp: int, block: int, n_classes: int):
-    n_chunks = Cp // _CLASS_CHUNK
-
+def _make_kernel(Lb: int, block: int, n_classes: int, n_chunks: int, n_l: int):
     def kernel(seed_ref, cdf_ref, out_ref):
-        pltpu.prng_seed(seed_ref[pl.program_id(0)])
-        bits = pltpu.prng_random_bits((block, Lp))
+        flat = pl.program_id(0) * n_l + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[flat])
+        bits = pltpu.prng_random_bits((block, Lb))
         # uint32 -> uniform [0, 1) with 24 bits of mantissa. Mosaic has no
         # uint32->f32 cast, so shift into the int32-safe range first.
         bits24 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
-        u = bits24.astype(jnp.float32) * (1.0 / (1 << 24))  # (block, Lp)
+        u = bits24.astype(jnp.float32) * (1.0 / (1 << 24))  # (block, Lb)
 
         def body(c, acc):
             cdf_chunk = cdf_ref[:, pl.ds(c * _CLASS_CHUNK, _CLASS_CHUNK)]
             le = (cdf_chunk[None, :, :] <= u[:, :, None]).astype(jnp.int32)
             return acc + le.sum(axis=-1)
 
-        acc = jnp.zeros((block, Lp), jnp.int32)
+        acc = jnp.zeros((block, Lb), jnp.int32)
         acc = jax.lax.fori_loop(0, n_chunks, body, acc)
         # float32 row sums often end below 1.0 (~2e-7 short): u landing in
         # that gap counts ALL n_classes entries. The XLA/reference argmax
@@ -89,33 +95,36 @@ def pallas_sample_class_indices(
     """
     L, C = probs.shape
     Lp = _round_up(max(L, 8), 8)
+    Lb = min(Lp, _L_BLOCK)
+    n_l = -(-Lp // Lb)
+    Lp = n_l * Lb  # grid blocks must tile evenly
     Cp = _round_up(max(C, _CLASS_CHUNK), _CLASS_CHUNK)
-    block = _pick_block(Lp)
+    block = _pick_block(Lb)
     cdf = jnp.cumsum(probs.astype(jnp.float32), axis=-1)
     cdf = jnp.pad(cdf, ((0, Lp - L), (0, Cp - C)), constant_values=2.0)
 
     n_blocks = -(-n_samples // block)
-    # Per-block seeds: hash (seed, block_id) with the murmur3 finalizer so
-    # nearby master seeds get unrelated per-block streams (seed+program_id
-    # would alias block i of seed s with block i-1 of seed s+1).
+    # Per-program seeds: hash (seed, flat_program_index) with the murmur3
+    # finalizer so nearby master seeds get unrelated streams (seed+index
+    # would alias program i of seed s with program i-1 of seed s+1).
     z = jax.lax.bitcast_convert_type(
         jnp.asarray(seed, jnp.int32), jnp.uint32
-    ) + jnp.arange(n_blocks, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+    ) + jnp.arange(n_blocks * n_l, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
     z = (z ^ (z >> 16)) * jnp.uint32(0x85EBCA6B)
     z = (z ^ (z >> 13)) * jnp.uint32(0xC2B2AE35)
     z = z ^ (z >> 16)
-    block_seeds = jax.lax.bitcast_convert_type(z, jnp.int32)
+    program_seeds = jax.lax.bitcast_convert_type(z, jnp.int32)
     out = pl.pallas_call(
-        _make_kernel(Lp, Cp, block, C),
-        grid=(n_blocks,),
+        _make_kernel(Lb, block, C, Cp // _CLASS_CHUNK, n_l),
+        grid=(n_blocks, n_l),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((Lp, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lb, Cp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (block, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block, Lb), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks * block, Lp), jnp.int32),
         interpret=interpret,
-    )(block_seeds, cdf)
+    )(program_seeds, cdf)
     return out[:n_samples, :L]

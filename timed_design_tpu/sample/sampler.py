@@ -82,9 +82,14 @@ def sample_class_indices_auto(
             pallas_sampling_viable,
         )
 
-        # very long sequences overflow the kernel's VMEM working set even
-        # at its minimum block size — XLA handles those
-        if pallas_sampling_viable(*probs.shape):
+        # The kernel length-chunks its grid (round 4), so it HANDLES any
+        # length — but beyond its 1024-position length block XLA's fused
+        # compare/argmax is measurably faster (L=4096, C=338, n=2000:
+        # XLA 5.9 ms vs kernel 30.6 ms per draw batch, device-side
+        # amortized loop — BASELINE.md §samplers). Dispatch is therefore a
+        # measured policy, not a capability bound: Pallas at production
+        # design lengths, XLA for long multi-chain biounits.
+        if probs.shape[0] <= 1024 and pallas_sampling_viable(*probs.shape):
             seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
             return pallas_sample_class_indices(seed, probs, n_samples)
     return sample_class_indices(key, probs, n_samples)
