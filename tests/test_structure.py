@@ -325,3 +325,36 @@ def test_interleaved_chain_records_res_index():
     # backbone_arrays rows follow residues order too
     bb = s.backbone_arrays()
     np.testing.assert_allclose(bb["CA"][:, 0], [1.1, 3.1, 2.1])
+
+
+def test_chi_sensitivity_study():
+    """Pin the chi-bin sensitivity numbers from scripts/chi_sensitivity.py
+    (docs/AMPAL_SPEC.md §3). Three claims, measured on real 1UBQ chis:
+    (1) the observed chi density decisively selects edges {0,120,240} over
+    the rival {60,180,300} placement; (2) boundary exposure is tiny — zero
+    chis within 1 deg of our edges; (3) a wrong convention is LOUD — rival
+    conventions shatter >80% of 338-class encodings, so a mis-binning
+    cannot hide as a subtle metric shift. A parser/geometry regression
+    that moves chi mass toward the edges fails here visibly."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from scripts.chi_sensitivity import main as chi_main
+
+    rows = {r["study"]: r for r in chi_main([])}
+    exposure = rows["boundary_exposure"]
+    assert exposure["n_chis"] >= 150
+    assert exposure["frac_within_1.0deg_of_our_edges"] == 0.0
+    assert exposure["frac_within_5.0deg_of_our_edges"] < 0.03
+    assert exposure["median_distance_to_our_edges_deg"] > 40.0
+
+    sel = rows["convention_selection"]
+    assert sel["frac_within_30deg_of_edges_60_180_300"] > 3 * (
+        sel["frac_within_30deg_of_edges_0_120_240"]
+    )
+    assert sel["verdict"].startswith("edges {0,120,240}")
+
+    for rival in ("rival_edge_shift_60", "rival_mirrored_sign"):
+        assert rows[rival]["per_chi_bin_disagreement"] > 0.5
+        assert rows[rival]["class338_disagreement"] > 0.8
