@@ -1,0 +1,198 @@
+"""Train-to-recovery capability proof (VERDICT r3 item 7).
+
+One continuous demonstration tying together the training stack, the Keras
+release-format exporter, and the executed-reference oracle:
+
+    td-train (from scratch, early stopping, structure-level val split)
+      -> Keras `.h5` export (models/keras_export.py)
+        -> the REFERENCE's own `load_dataset_and_predict`
+           (/root/reference/predict.py:28-194) running under REAL
+           TensorFlow, loading that exported file
+        -> held-out argmax recovery >> the 5% random baseline
+      -> our own `td-predict` consuming the same file, agreeing with the
+         reference's designed sequences.
+
+The dataset is synthetic but learnable: every frame carries a blob at a
+RANDOM position whose 5-channel intensity pattern is the binary code of
+the residue label (plus background noise). Random placement matters —
+TIMED pools with GlobalAveragePooling (README.md:254), so the model can
+only solve this by learning translation-equivariant channel features, the
+same mechanism real frame datasets require, not by memorizing voxels.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+import types
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pytest
+
+from tests.reference_shim import reference_available, reference_modules
+
+V, N_CH = 21, 5
+
+
+def _write_learnable_tree_h5(path: Path, n_structures: int,
+                             n_residues: int, seed: int) -> Path:
+    """aposteriori-schema tree HDF5 (reference utils.py:238-251) whose
+    frame content encodes the label: a solid 5x5x5 blob at a random
+    position, channel c lit (intensity 2.0) iff bit c of the label index
+    is set, over mild uniform background noise. First version of this test
+    used a 3x3x3 blob at 1.0 over noise U(0,0.15): the per-channel mean
+    shift was ~0.003 vs a background mean of 0.075 and the model memorized
+    the 380 train frames' noise instead (train top1 0.55, val 0.03-0.13).
+    This geometry gives a ~60-sigma channel-mean signal AND a locally
+    trivial edge for the convs — learnable, still position-invariant."""
+    from timed_design_tpu.constants import AA3, AA3_TO_INT
+
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "w") as f:
+        f.attrs["make_frame_dataset_ver"] = "2.0.0"
+        f.attrs["frame_dims"] = (V, V, V, N_CH)
+        f.attrs["atom_encoder"] = ["C", "N", "O", "CA", "CB"]
+        f.attrs["encode_cb"] = True
+        f.attrs["atom_filter_fn"] = "backbone"
+        f.attrs["residue_encoder"] = list(AA3)
+        f.attrs["frame_edge_length"] = 21.0
+        f.attrs["voxels_as_gaussian"] = True
+        for s in range(n_structures):
+            g = f.create_group(f"s{s:03d}")
+            c = g.create_group("A")
+            for r in range(n_residues):
+                label = int(rng.integers(0, 20))
+                frame = rng.uniform(0.0, 0.1, (V, V, V, N_CH)).astype(
+                    np.float32
+                )
+                x, y, z = rng.integers(2, V - 7, 3)
+                bits = [(label >> b) & 1 for b in range(N_CH)]
+                frame[x:x + 5, y:y + 5, z:z + 5, :] = 2.0 * np.array(
+                    bits, np.float32
+                )
+                d = c.create_dataset(str(r + 1), data=frame)
+                d.attrs["label"] = AA3[label]
+                onehot = np.zeros(20, np.float64)
+                onehot[AA3_TO_INT[AA3[label]]] = 1.0
+                d.attrs["encoded_residue"] = onehot
+    return path
+
+
+def _fasta_to_dict(path: Path) -> dict[str, str]:
+    seqs: dict[str, str] = {}
+    key = None
+    for line in path.read_text().splitlines():
+        if line.startswith(">"):
+            key = line[1:].strip()
+            seqs[key] = ""
+        elif key is not None:
+            seqs[key] += line.strip()
+    return seqs
+
+
+def _recovery(designed: dict[str, str], truth: dict[str, str]) -> float:
+    hits = total = 0
+    for k, real in truth.items():
+        pred = designed[k]
+        assert len(pred) == len(real), (k, len(pred), len(real))
+        hits += sum(a == b for a, b in zip(pred, real))
+        total += len(real)
+    assert total > 0
+    return hits / total
+
+
+@contextlib.contextmanager
+def _np_int_alias():
+    """numpy>=1.24 removed np.int (reference utils.py:369 uses it)."""
+    had = hasattr(np, "int")
+    np.int = int
+    try:
+        yield
+    finally:
+        if not had:
+            del np.int
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference tree absent")
+def test_train_export_reference_pipeline_recovery(tmp_path):
+    pytest.importorskip("tensorflow")
+
+    train_h5 = _write_learnable_tree_h5(
+        tmp_path / "train.hdf5", n_structures=32, n_residues=20, seed=11
+    )
+    held_h5 = _write_learnable_tree_h5(
+        tmp_path / "held.hdf5", n_structures=5, n_residues=16, seed=97
+    )
+    model_h5 = tmp_path / "demo_model.h5"
+
+    # ---- 1. train from scratch via the real CLI (early stopping active)
+    from timed_design_tpu.cli.train import main as train_main
+
+    train_main([
+        "--path_to_dataset", str(train_h5),
+        "--model", "TIMED", "--filters", "8,16",
+        "--batch_size", "64", "--epochs", "12",
+        "--learning_rate", "5e-3", "--bn_momentum", "0.8",
+        "--val_fraction", "0.2", "--patience", "6",
+        "--seed", "3",
+        "--output", str(model_h5),
+    ])
+    assert model_h5.exists()
+
+    # ---- 2. the REFERENCE pipeline, real TF, loads the exported file
+    ref_out = tmp_path / "ref_out"
+    ref_out.mkdir()
+    bind_cwd = tmp_path / "ref_bind"
+    bind_cwd.mkdir()
+    old = os.getcwd()
+    os.chdir(bind_cwd)  # reference writers bind Path.cwd() at import
+    try:
+        ctx = reference_modules(entry_modules=("predict",))
+        with ctx as ns:
+            os.chdir(old)
+            with _np_int_alias(), contextlib.chdir(ref_out):
+                ns.predict.load_dataset_and_predict(
+                    [model_h5],
+                    held_h5,
+                    batch_size=32,
+                    start_batch=0,
+                    dataset_map_path=ref_out / "datasetmap.txt",
+                    path_to_output=ref_out,
+                )
+    finally:
+        os.chdir(old)
+
+    ref_designed = _fasta_to_dict(ref_out / f"{model_h5.stem}.fasta")
+    truth = _fasta_to_dict(ref_out / "dataset.fasta")
+    ref_rec = _recovery(ref_designed, truth)
+    # random baseline is 1/20 = 0.05; the trained model must be far above
+    assert ref_rec > 0.6, (
+        f"reference pipeline recovery {ref_rec:.3f} with our trained+"
+        f"exported model — training or export is broken"
+    )
+
+    # ---- 3. our predict CLI consumes the same exported file
+    our_out = tmp_path / "our_out"
+    from timed_design_tpu.cli.predict import main as predict_main
+
+    predict_main([
+        "--path_to_dataset", str(held_h5),
+        "--path_to_model", str(model_h5),
+        "--path_to_output", str(our_out),
+        "--path_to_datasetmap", str(our_out / "datasetmap.txt"),
+        "--batch_size", "32",
+    ])
+    our_designed = _fasta_to_dict(our_out / f"{model_h5.stem}.fasta")
+    our_rec = _recovery(our_designed, truth)
+    assert our_rec > 0.6, f"our pipeline recovery {our_rec:.3f}"
+
+    # TF's conv numerics differ from XLA's in low bits, but a converged
+    # model is confident: designed sequences should agree near-everywhere
+    agree = _recovery(our_designed, ref_designed)
+    assert agree > 0.95, (
+        f"TF-executed vs our-executed designs agree at only {agree:.3f}"
+    )
+    print(f"recovery: reference={ref_rec:.3f} ours={our_rec:.3f} "
+          f"agreement={agree:.3f}")

@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "rotamer labels are not stored in frame datasets)")
     p.add_argument("--lr_schedule", choices=("constant", "cosine"),
                    default="constant")
+    p.add_argument("--filters", type=str, default=None,
+                   help="Override the conv-stack widths as comma ints, e.g. "
+                        "'8,16' — train reduced variants of an architecture "
+                        "(TIMED family; capability the reference's fixed "
+                        "releases lack)")
     p.add_argument("--warmup_steps", type=int, default=0,
                    help="Linear LR warmup steps before the schedule proper")
     return p
@@ -140,6 +145,16 @@ def main(argv=None) -> None:
         import jax.numpy as jnp
 
         build_kw["compute_dtype"] = jnp.bfloat16
+    if args.filters:
+        try:
+            build_kw["filters"] = tuple(
+                int(w) for w in args.filters.split(",") if w.strip()
+            )
+        except ValueError:
+            raise SystemExit(f"--filters must be comma ints, got "
+                             f"{args.filters!r}")
+        if not build_kw["filters"]:
+            raise SystemExit("--filters parsed to an empty stack")
     try:
         module = spec.build(bn_momentum=args.bn_momentum, **build_kw)
     except TypeError as e:
