@@ -86,25 +86,6 @@ def write_flat_dataset(path: Path, n_frames: int, voxels: int,
     return path
 
 
-class _TableModule:
-    """Injected 338-head model: table lookup on the ID voxel (measures the
-    engine, not the conv stack)."""
-
-    def __init__(self, seed: int, name: str, n_classes: int = 338):
-        rng = np.random.default_rng(seed)
-        t = rng.random((64, n_classes))
-        self._table = (t / t.sum(1, keepdims=True)).astype(np.float32)
-        self.n_classes = n_classes
-        self.name = name
-
-    def apply(self, variables, x):
-        import jax.numpy as jnp
-
-        tab = jnp.asarray(self._table)
-        ids = x[:, 0, 0, 0, 0].astype(jnp.int32) % tab.shape[0]
-        return tab[ids]
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=200_000)
@@ -134,8 +115,10 @@ def main() -> None:
         t_data = time.time() - t0
 
         if args.table:
-            models = [(_TableModule(1, "ScaleA"), {}),
-                      (_TableModule(2, "ScaleB"), {})]
+            from tests.reference_shim import TableModule
+
+            models = [(TableModule.from_seed(1, "ScaleA"), {}),
+                      (TableModule.from_seed(2, "ScaleB"), {})]
             compute_dtype = None
         else:
             import jax.numpy as jnp

@@ -170,3 +170,53 @@ def reference_modules(extra_shims: dict | None = None, entry_modules=()):
         for k in _REFERENCE_MODULES:
             sys.modules.pop(k, None)
         sys.dont_write_bytecode = dont_write
+
+
+# ------------------------------------------------- shared oracle helpers
+@contextlib.contextmanager
+def np_int_alias():
+    """numpy>=1.24 removed np.int (reference utils.py:369 uses it)."""
+    import numpy as np
+
+    had = hasattr(np, "int")
+    np.int = int
+    try:
+        yield
+    finally:
+        if not had:
+            del np.int
+
+
+def make_table(seed: int, n_classes: int, k: int = 64):
+    """Deterministic (k, n_classes) row-normalized probability table."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    t = rng.random((k, n_classes))
+    t /= t.sum(1, keepdims=True)
+    return t.astype(np.float32)
+
+
+class TableModule:
+    """Injected engine-side model: table lookup on the ID voxel
+    (frame[0,0,0,0]) as a jittable module for _resolve_model's
+    ``(module, variables)`` path — measures the engine, not conv FLOPs."""
+
+    def __init__(self, table, name: str):
+        import numpy as np
+
+        self._table = np.asarray(table, np.float32)
+        self.n_classes = int(self._table.shape[1])
+        self.name = name
+
+    @classmethod
+    def from_seed(cls, seed: int, name: str, n_classes: int = 338,
+                  k: int = 64) -> "TableModule":
+        return cls(make_table(seed, n_classes, k), name)
+
+    def apply(self, variables, x):
+        import jax.numpy as jnp
+
+        tab = jnp.asarray(self._table)
+        ids = x[:, 0, 0, 0, 0].astype(jnp.int32) % tab.shape[0]
+        return tab[ids]

@@ -150,6 +150,63 @@ def test_predict_structure_reuses_compiled_predictor(ubq_pdb_gz, monkeypatch):
     pred_mod._STRUCTURE_PREDICTOR_CACHE.clear()
 
 
+def test_predict_structure_cache_respects_random_weight_opt_in(
+    ubq_pdb_gz, monkeypatch
+):
+    """A cache entry built under allow_random_weights=True must NOT satisfy
+    a later call that didn't opt in — that caller is owed _resolve_model's
+    ValueError, not silently-served random-weight predictions (round-4
+    review finding on the predict_structure LRU)."""
+    import timed_design_tpu.engine.predictor as pred_mod
+
+    pred_mod._STRUCTURE_PREDICTOR_CACHE.clear()
+
+    class _StubPredictor:  # no jit — this pins lookup logic, not compute
+        def __init__(self, model, batch_size=512, mesh=None, model_name=None,
+                     **kw):
+            self.n_classes = 20
+
+        def predict_probs(self, frames):
+            return np.full((frames.shape[0], 20), 1 / 20, np.float32)
+
+    monkeypatch.setattr(pred_mod, "Predictor", _StubPredictor)
+    probs, _ = pred_mod.predict_structure(
+        ubq_pdb_gz, "TIMED", codec="CNOCACB", allow_random_weights=True
+    )
+    assert probs.shape == (76, 20)
+    with pytest.raises(ValueError, match="random"):
+        pred_mod.predict_structure(ubq_pdb_gz, "TIMED", codec="CNOCACB")
+    pred_mod._STRUCTURE_PREDICTOR_CACHE.clear()
+
+
+def test_filters_override_checkpoint_roundtrip(tmp_path):
+    """Checkpoints trained with a non-default conv stack (td-train
+    --filters) record it, and Name@ckpt.npz resolution rebuilds the SAME
+    module — with registry defaults the weights pair with a mismatched
+    parameter tree and fail at apply time (round-4 review finding)."""
+    import jax
+    import optax
+
+    from timed_design_tpu.engine.predictor import _resolve_model
+    from timed_design_tpu.models import get_model_spec
+    from timed_design_tpu.train import init_train_state, save_checkpoint
+
+    spec = get_model_spec("TIMED")
+    module = spec.build(filters=(8, 16))
+    state, _ = init_train_state(
+        module, jax.random.key(0), (1, 21, 21, 21, 5), optax.adam(1e-3), None
+    )
+    ckpt = tmp_path / "small.npz"
+    save_checkpoint(state, ckpt, build_kwargs={"filters": (8, 16)})
+    (mod, variables), name = _resolve_model(f"TIMED@{ckpt}")
+    assert name == "TIMED"
+    assert tuple(mod.filters) == (8, 16)
+    out = mod.apply(variables, np.zeros((2, 21, 21, 21, 5), np.float32))
+    assert out.shape == (2, 20)
+    # metadata entries never leak into the weight tree
+    assert set(variables) == {"params", "batch_stats"}
+
+
 def test_resume_start_batch(ubq_h5):
     """start_batch resume support (reference predict.py:54-57): the loader
     skips already-processed batches."""

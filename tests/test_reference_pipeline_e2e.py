@@ -44,7 +44,13 @@ import h5py
 import numpy as np
 import pytest
 
-from tests.reference_shim import reference_available, reference_modules
+from tests.reference_shim import (
+    TableModule as _TableModule,
+    make_table as _make_table,
+    np_int_alias as _np_int_alias,
+    reference_available,
+    reference_modules,
+)
 
 pytestmark = pytest.mark.skipif(
     not reference_available(), reason="reference tree not available"
@@ -66,30 +72,6 @@ class _FakeKerasModel:
         X = np.asarray(X)
         ids = X[:, 0, 0, 0, 0].astype(np.int64) % len(self.table)
         return self.table[ids]
-
-
-class _TableModule:
-    """Our-side injected model: the same table lookup as a jittable module
-    (engine/_resolve_model's ``(module, variables)`` path)."""
-
-    def __init__(self, table: np.ndarray, name: str):
-        self._table = np.asarray(table, np.float32)
-        self.n_classes = int(self._table.shape[1])
-        self.name = name
-
-    def apply(self, variables, x):
-        import jax.numpy as jnp
-
-        tab = jnp.asarray(self._table)
-        ids = x[:, 0, 0, 0, 0].astype(jnp.int32) % tab.shape[0]
-        return tab[ids]
-
-
-def _make_table(seed: int, n_classes: int, k: int = 64) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    t = rng.random((k, n_classes))
-    t /= t.sum(1, keepdims=True)
-    return t.astype(np.float32)
 
 
 def _build_fake_tf(tables_by_stem: dict[str, np.ndarray]) -> dict:
@@ -227,18 +209,6 @@ def refpipe(tmp_path_factory):
 
 
 # --------------------------------------------------------------- helpers
-@contextlib.contextmanager
-def _np_int_alias():
-    """numpy>=1.24 removed np.int (reference utils.py:369 uses it)."""
-    had = hasattr(np, "int")
-    np.int = int
-    try:
-        yield
-    finally:
-        if not had:
-            del np.int
-
-
 def _run_reference_predict(ns, dataset, out, model_stems, **kw):
     out.mkdir(parents=True, exist_ok=True)
     with _np_int_alias(), contextlib.chdir(out):

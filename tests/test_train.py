@@ -731,6 +731,42 @@ def test_train_cli_validation_e2e(tmp_path, ubq_pdb_gz, capsys, monkeypatch):
         ])
 
 
+@pytest.mark.slow
+def test_train_cli_filters_e2e(tmp_path, ubq_pdb_gz, capsys):
+    """td-train --filters trains a reduced conv stack whose .npz checkpoint
+    round-trips through the documented TIMED@ckpt.npz predict path, and
+    width-pinning constructors (TIMED_Deep & co) refuse the flag with a
+    named error instead of a raw TypeError."""
+    from timed_design_tpu.cli.train import main as train_main
+    from timed_design_tpu.engine import predict_structure
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    h5 = make_frame_dataset(
+        [ubq_pdb_gz], tmp_path / "ubq.hdf5", codec="CNOCACB", layout="flat"
+    )
+    ck = tmp_path / "small.npz"
+    train_main([
+        "--path_to_dataset", str(h5), "--model", "TIMED",
+        "--filters", "8,16", "--batch_size", "76", "--epochs", "1",
+        "--output", str(ck),
+    ])
+    probs, _ = predict_structure(
+        ubq_pdb_gz, f"TIMED@{ck}", codec="CNOCACB", batch_size=76
+    )
+    assert probs.shape == (76, 20)
+    np.testing.assert_allclose(np.asarray(probs).sum(1), 1.0, atol=1e-3)
+    with pytest.raises(SystemExit, match="fixes its own conv widths"):
+        train_main([
+            "--path_to_dataset", str(h5), "--model", "TIMED_Deep",
+            "--filters", "8,16", "--output", str(tmp_path / "d.npz"),
+        ])
+    with pytest.raises(SystemExit, match="comma ints"):
+        train_main([
+            "--path_to_dataset", str(h5), "--filters", "a,b",
+            "--output", str(tmp_path / "x.npz"),
+        ])
+
+
 def test_fit_early_stopping_nan_divergence(monkeypatch, capsys):
     """All-NaN validation losses: patience still trips, the final weights
     come back unchanged (there is no best to restore), and the message

@@ -30,7 +30,11 @@ import h5py
 import numpy as np
 import pytest
 
-from tests.reference_shim import reference_available, reference_modules
+from tests.reference_shim import (
+    np_int_alias as _np_int_alias,
+    reference_available,
+    reference_modules,
+)
 
 V, N_CH = 21, 5
 
@@ -100,18 +104,6 @@ def _recovery(designed: dict[str, str], truth: dict[str, str]) -> float:
         total += len(real)
     assert total > 0
     return hits / total
-
-
-@contextlib.contextmanager
-def _np_int_alias():
-    """numpy>=1.24 removed np.int (reference utils.py:369 uses it)."""
-    had = hasattr(np, "int")
-    np.int = int
-    try:
-        yield
-    finally:
-        if not had:
-            del np.int
 
 
 @pytest.mark.slow

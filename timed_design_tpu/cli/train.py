@@ -158,6 +158,15 @@ def main(argv=None) -> None:
     try:
         module = spec.build(bn_momentum=args.bn_momentum, **build_kw)
     except TypeError as e:
+        # constructors that pin their widths (timed_deep & co pass
+        # filters=... themselves and forward **kw) reject the override with
+        # "multiple values" — turn that into a named refusal, not a traceback
+        if "filters" in str(e) and "multiple values" in str(e):
+            raise SystemExit(
+                f"{args.model} fixes its own conv widths and does not "
+                f"accept --filters; use TIMED/ProDCoNN-family bases that "
+                f"take a filters knob"
+            )
         # only the signature mismatch falls back (constructors are **kw
         # wrappers, so inspect.signature can't see the knob); any other
         # TypeError from inside a builder must surface — silently training
@@ -166,7 +175,15 @@ def main(argv=None) -> None:
             raise
         print(f"note: {args.model} has no bn_momentum knob; "
               f"--bn_momentum ignored")
-        module = spec.build(**build_kw)
+        try:
+            module = spec.build(**build_kw)
+        except TypeError as e2:
+            if "filters" in str(e2) and "multiple values" in str(e2):
+                raise SystemExit(
+                    f"{args.model} fixes its own conv widths and does not "
+                    f"accept --filters"
+                )
+            raise
     out = Path(args.output)
     export_h5 = out.suffix in (".h5", ".hdf5")
     if export_h5:
@@ -207,7 +224,10 @@ def main(argv=None) -> None:
         print(f"Exported Keras release-format h5 to {out} "
               f"after {int(state.step)} steps")
     else:
-        save_checkpoint(state, out)
+        # persist architecture overrides (not runtime knobs like
+        # compute_dtype) so Name@ckpt.npz rebuilds the trained module
+        arch_kw = {k: v for k, v in build_kw.items() if k != "compute_dtype"}
+        save_checkpoint(state, out, build_kwargs=arch_kw or None)
         print(f"Saved checkpoint to {out} after {int(state.step)} steps")
 
 

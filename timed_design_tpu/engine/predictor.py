@@ -169,9 +169,7 @@ class Predictor:
         `model.predict` pattern, predict.py:142). Yields (n_valid,
         n_classes) arrays in input order.
         """
-        from collections import deque
-
-        pending: deque = deque()
+        pending: collections.deque = collections.deque()
         for frames, n_valid in batches:
             pending.append((self._dispatch(frames), n_valid))
             if len(pending) >= max_in_flight:
@@ -223,9 +221,15 @@ def _resolve_model(m, compute_dtype=None, allow_random_weights=False):
 
         name, ckpt = str(m).split("@", 1)
         spec = get_model_spec(name)
-        module = spec.build(
-            **({"compute_dtype": compute_dtype} if compute_dtype is not None else {})
-        )
+        from ..train import load_checkpoint_build_kwargs
+
+        # checkpoints trained with architecture overrides (td-train
+        # --filters) record them; rebuilding with registry defaults would
+        # pair the module with a mismatched parameter tree
+        kw = load_checkpoint_build_kwargs(ckpt)
+        if compute_dtype is not None:
+            kw["compute_dtype"] = compute_dtype
+        module = spec.build(**kw)
         variables = load_checkpoint_params(ckpt)
         return (module, variables), spec.name
     resolved = load_model(m, compute_dtype=compute_dtype)
@@ -530,9 +534,7 @@ def load_dataset_and_predict(
             # pipelined: loader prefetch, H2D, compute, and fetch overlap;
             # in-flight dispatch groups shrink as the model count grows so
             # HBM stays bounded
-            from collections import deque
-
-            pending: deque = deque()
+            pending: collections.deque = collections.deque()
             max_in_flight = max(2, 8 // n_models)
 
             def _drain_one():
@@ -737,6 +739,10 @@ def predict_structure(
         _structure_model_key(model),
         batch_size,
         id(mesh) if mesh is not None else None,
+        # random-weight opt-in is part of the identity: a cache entry built
+        # under allow_random_weights=True must not satisfy a caller that
+        # didn't opt in (that caller is owed _resolve_model's ValueError)
+        bool(allow_random_weights),
     )
     hit = _STRUCTURE_PREDICTOR_CACHE.get(cache_key)
     if hit is not None:

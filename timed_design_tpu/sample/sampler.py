@@ -78,6 +78,7 @@ def sample_class_indices_auto(
     """
     if jax.default_backend() == "tpu":
         from ..ops.pallas_sample import (
+            _L_BLOCK,
             pallas_sample_class_indices,
             pallas_sampling_viable,
         )
@@ -89,7 +90,7 @@ def sample_class_indices_auto(
         # amortized loop — BASELINE.md §samplers). Dispatch is therefore a
         # measured policy, not a capability bound: Pallas at production
         # design lengths, XLA for long multi-chain biounits.
-        if probs.shape[0] <= 1024 and pallas_sampling_viable(*probs.shape):
+        if probs.shape[0] <= _L_BLOCK and pallas_sampling_viable(*probs.shape):
             seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
             return pallas_sample_class_indices(seed, probs, n_samples)
     return sample_class_indices(key, probs, n_samples)

@@ -5,6 +5,7 @@ from .train import (  # noqa: F401
     evaluate,
     fit,
     init_train_state,
+    load_checkpoint_build_kwargs,
     load_checkpoint_params,
     make_eval_step,
     make_lr_schedule,

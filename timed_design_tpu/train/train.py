@@ -476,8 +476,14 @@ def fit(
     return state
 
 
-def save_checkpoint(state: TrainState, path):
+def save_checkpoint(state: TrainState, path, build_kwargs=None):
     """Orbax-free minimal checkpointing: flat npz of params + batch_stats.
+
+    ``build_kwargs`` (architecture overrides like a non-default ``filters``
+    stack) are stored as a JSON sidecar entry so ``Name@ckpt.npz`` loading
+    can rebuild the EXACT module the weights were trained in — without it a
+    reduced-width checkpoint pairs with the registry's default widths and
+    fails at apply time.
 
     (The reference has no model checkpointing at all — SURVEY.md §5; this plus
     orbax integration in utils gives train/resume capability.)
@@ -488,6 +494,10 @@ def save_checkpoint(state: TrainState, path):
         for path_keys, leaf in leaves:
             key = prefix + "/" + "/".join(str(getattr(k, "key", k)) for k in path_keys)
             flat[key] = np.asarray(leaf)
+    if build_kwargs:
+        import json
+
+        flat["__build_kwargs__"] = np.asarray(json.dumps(build_kwargs))
     np.savez(path, **flat)
 
 
@@ -496,12 +506,28 @@ def load_checkpoint_params(path) -> dict:
     flat = np.load(path)
     out: dict = {}
     for key in flat.files:
+        if key.startswith("__"):  # metadata entries, not weight leaves
+            continue
         parts = key.split("/")
         node = out
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = flat[key]
     return out
+
+
+def load_checkpoint_build_kwargs(path) -> dict:
+    """Architecture overrides stored by save_checkpoint (empty for
+    checkpoints trained with registry defaults, including all pre-existing
+    files). JSON round-trip turns tuples into lists; restore tuples so
+    flax module fields hash/compare as the originals did."""
+    import json
+
+    flat = np.load(path)
+    if "__build_kwargs__" not in flat.files:
+        return {}
+    kw = json.loads(str(flat["__build_kwargs__"]))
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in kw.items()}
 
 
 def save_checkpoint_orbax(state: TrainState, path) -> bool:
