@@ -27,10 +27,18 @@ jax.config.update("jax_platforms", "cpu")
 # heavy optimization passes (2.8x faster compiles, same semantics) and keep
 # a persistent cache for whatever still takes >1s.
 jax.config.update("jax_disable_most_optimizations", True)
-_cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
-_cache_dir.mkdir(exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:
+    _cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    _cache_dir.mkdir(exist_ok=True)
+except OSError:
+    pass  # read-only checkout: forgo the cache, don't fail collection
+else:
+    jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+    # Keep the >=1s threshold: persisting EVERY compile was MEASURED
+    # slower on this host (cold fast lane 331s at threshold 0 vs 288s at
+    # 1.0 — program (de)serialization outweighs the dedup of the many
+    # sub-second CPU compiles).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_configure(config):
