@@ -111,6 +111,124 @@ def build_table_shims() -> dict[str, types.ModuleType]:
     }
 
 
+def build_structural_ampal() -> dict[str, types.ModuleType]:
+    """Table shims + a STRUCTURAL fake ampal backed by our structure layer.
+
+    The composed `analyse_rotamers` pipeline (reference analyse_rotamers.py:
+    19-139) needs more than tables: `_tag_pdb_with_rot` loads PDBs and tags
+    side-chain dihedrals, `pack_side_chains_scwrl` renders `assembly.pdb`
+    and re-parses SCWRL output, and the new-datasetmap branch reads
+    `assembly[chain].sequence`. This builds that surface on top of OUR
+    parser/tagger (structure/pdb.py, structure/geometry.py), following the
+    conventions frozen in docs/AMPAL_SPEC.md — so, as with the sampler's
+    PRNG seam, the TAGGING seam is bridged by the spec (provenance closes
+    via scripts/ampal_parity.py on any host with real ampal), while the
+    reference's own composition code runs unmodified around it.
+
+    AMPAL_SPEC conventions implemented here:
+      * zero-chi residues (ALA/GLY): ``tags['rotamers'] = [0]`` so the
+        reference's key ``f"{mol_code}_0"`` matches its codec category
+        (utils.py:452-461);
+      * any missing side-chain atom: ``tags['rotamers'] = None`` so the
+        reference's ``''.join(map(str, None))`` raises TypeError -> NaN
+        (analyse_utils.py:921-928);
+      * otherwise the chi bins from our tagger ({1,2,3} over edges
+        0/120/240 — AMPAL_SPEC §2).
+    """
+    shims = build_table_shims()
+    ampal = shims["ampal"]
+
+    from timed_design_tpu.constants import AA3_TO_AA1, CHI_COUNTS
+    from timed_design_tpu.structure.geometry import tag_chi_angles
+    from timed_design_tpu.structure.pdb import load_pdb as _our_load_pdb
+    from timed_design_tpu.structure.pdb import parse_pdb_string
+
+    class _Residue:
+        def __init__(self, res):
+            self.mol_code = res.res_name
+            self.id = res.id
+            self.tags: dict = {}
+
+    class _Polypeptide(ampal.Polypeptide):
+        def __init__(self, chain_structure, chain_id):
+            self._s = chain_structure
+            self.id = chain_id
+            self._residues = [
+                _Residue(r)
+                for r in chain_structure.residues
+                if r.is_standard_aa
+            ]
+
+        def __iter__(self):
+            return iter(self._residues)
+
+        def __len__(self):
+            return len(self._residues)
+
+        @property
+        def sequence(self):
+            return "".join(
+                AA3_TO_AA1.get(r.mol_code, "X") for r in self._residues
+            )
+
+        def tag_sidechain_dihedrals(self):
+            for res, (angles, bins) in zip(
+                self._residues, tag_chi_angles(self._s)
+            ):
+                if CHI_COUNTS.get(res.mol_code, 0) == 0:
+                    res.tags["chi_angles"] = []
+                    res.tags["rotamers"] = [0]
+                elif 0 in bins:
+                    res.tags["chi_angles"] = None
+                    res.tags["rotamers"] = None
+                else:
+                    res.tags["chi_angles"] = list(angles)
+                    res.tags["rotamers"] = list(bins)
+
+    class _Assembly(ampal.Assembly):
+        def __init__(self, structure):
+            self._s = structure
+            self._polys = [
+                _Polypeptide(structure.select_chain(c.chain_id), c.chain_id)
+                for c in structure.chains
+            ]
+            self.tags: dict = {}
+            self.id = structure.name
+
+        def __iter__(self):
+            return iter(self._polys)
+
+        def __len__(self):
+            return len(self._polys)
+
+        def __getitem__(self, key):
+            if isinstance(key, int):
+                return self._polys[key]
+            for p in self._polys:
+                if p.id == key:
+                    return p
+            raise KeyError(key)
+
+        @property
+        def backbone(self):
+            return self._polys
+
+        @property
+        def pdb(self):
+            return self._s.to_pdb()
+
+    def _load_pdb(pdb, path: bool = True, **_kw):
+        if path:
+            s = _our_load_pdb(Path(str(pdb)))
+        else:
+            s = parse_pdb_string(str(pdb), name="inmem")[0]
+        return _Assembly(s)
+
+    ampal.load_pdb = _load_pdb
+    ampal._FakeAssembly = _Assembly  # introspection hook for tests
+    return shims
+
+
 # reference modules that must be purged on exit so later imports (or other
 # test modules) never see a half-shimmed tree
 _REFERENCE_MODULES = (
@@ -121,6 +239,7 @@ _REFERENCE_MODULES = (
     "design_utils.analyse_utils",
     "predict",
     "sample",
+    "analyse_rotamers",
 )
 
 

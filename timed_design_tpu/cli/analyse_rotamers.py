@@ -56,7 +56,12 @@ def main(argv=None) -> None:
     out.mkdir(parents=True, exist_ok=True)
     pdb_dir = Path(args.path_to_pdb)
 
-    P = load_prediction_matrix(Path(args.path_to_pred_matrix))
+    # the reference reads the saved matrix back as float16
+    # (analyse_rotamers.py:46-48): the published metrics are computed on
+    # saved-precision probabilities and top-k tie-breaks must match.
+    # (Renormalization then upcasts to float64 — ours stays f64 where the
+    # reference's in-place assignment rounds back to f16; PARITY.md.)
+    P = load_prediction_matrix(Path(args.path_to_pred_matrix), dtype=np.float16)
     dmap = load_datasetmap(Path(args.path_to_datasetmap), is_old=args.support_old_datasetmap)
     decoded = extract_sequences(dmap, P, rotamer_categories=ROTAMER_CATEGORIES)
 
@@ -76,6 +81,23 @@ def main(argv=None) -> None:
     pdb_paths = {c: p for c, p in pdb_paths.items() if p is not None}
     print(f"Tagging {len(pdb_paths)} structures with crystal rotamers")
     tags, assemblies = tag_structures_with_rotamers(pdb_paths)
+
+    # The new/SRB map format carries no real sequences — rebuild them from
+    # the parsed structures (the reference does the same,
+    # analyse_rotamers.py:69-71). Without this the wild-type SCWRL analysis
+    # packed EMPTY sequences for new-format maps: every structure failed
+    # the packer's length check and analysis 3 silently degraded to
+    # "skipped".
+    if not dmap.is_old:
+        for pdb in decoded.pdb_to_real_sequence:
+            asm = assemblies.get(pdb[:4])
+            if asm is None:
+                continue
+            chain = next(
+                (c for c in asm.chains if c.chain_id == pdb[4:]), None
+            )
+            if chain is not None:
+                decoded.pdb_to_real_sequence[pdb] = chain.sequence1()
 
     # Analysis 1: predictions vs wild-type crystal rotamers
     m1 = calculate_rotamer_metrics(
