@@ -274,11 +274,16 @@ def test_start_batch_resume_end_to_end(tmp_path, ubq_h5):
     kw = dict(batch_size=32, predict_rotamers=True, allow_random_weights=True)
     load_dataset_and_predict([name], ubq_h5, path_to_output=full_dir,
                              dataset_map_path=full_dir / "dm.txt", **kw)
-    # simulate the crash: run fully, then truncate artifacts to batch 1
+    # simulate the crash: run fully, then truncate artifacts to batch 1 —
+    # and the derived one-hot {name}.csv to a MISALIGNED shorter count
+    # (the crash can land between the two sequential per-batch writes;
+    # resume must regenerate the derived file from the validated matrix
+    # rather than append to the short one)
     load_dataset_and_predict([name], ubq_h5, path_to_output=res_dir,
                              dataset_map_path=res_dir / "dm.txt", **kw)
-    for f in (f"{name}_rot.csv", f"{name}.csv", "encoded_labels.csv"):
-        rows = (res_dir / f).read_text().splitlines()[:32]
+    for f, keep in ((f"{name}_rot.csv", 32), (f"{name}.csv", 20),
+                    ("encoded_labels.csv", 32)):
+        rows = (res_dir / f).read_text().splitlines()[:keep]
         (res_dir / f).write_text("\n".join(rows) + "\n")
     load_dataset_and_predict([name], ubq_h5, path_to_output=res_dir,
                              dataset_map_path=res_dir / "dm.txt",
@@ -295,6 +300,34 @@ def test_start_batch_resume_end_to_end(tmp_path, ubq_h5):
         load_dataset_and_predict([name], ubq_h5, path_to_output=res_dir,
                                  dataset_map_path=res_dir / "dm.txt",
                                  start_batch=2, **kw)
+
+
+@pytest.mark.slow
+def test_ensemble_resume_byte_identical(tmp_path, ubq_h5):
+    """A crash-resumed --ensemble run must emit byte-identical ensemble
+    artifacts to an uninterrupted one: the fresh path accumulates the
+    streamed rows at CSV (float16) precision precisely so the resumed
+    path's CSV read-backs sum to the same values — near-tied argmaxes
+    cannot flip on whether the run was resumed."""
+    names = ["TIMED", "TIMED_Deep"]
+    kw = dict(batch_size=32, allow_random_weights=True, ensemble=True)
+    fresh = tmp_path / "fresh"
+    res = tmp_path / "res"
+    for d in (fresh, res):
+        d.mkdir()
+    load_dataset_and_predict(names, ubq_h5, path_to_output=fresh,
+                             dataset_map_path=fresh / "dm.txt", **kw)
+    load_dataset_and_predict(names, ubq_h5, path_to_output=res,
+                             dataset_map_path=res / "dm.txt", **kw)
+    for f in ("TIMED.csv", "TIMED_Deep.csv", "encoded_labels.csv"):
+        rows = (res / f).read_text().splitlines()[:32]
+        (res / f).write_text("\n".join(rows) + "\n")
+    load_dataset_and_predict(names, ubq_h5, path_to_output=res,
+                             dataset_map_path=res / "dm.txt",
+                             start_batch=1, **kw)
+    for f in ("ensemble.csv", "ensemble.fasta", "TIMED.csv",
+              "TIMED_Deep.csv"):
+        assert (res / f).read_bytes() == (fresh / f).read_bytes(), f
 
 
 @pytest.mark.slow

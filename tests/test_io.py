@@ -121,10 +121,74 @@ def test_float16_csv_fast_writer_byte_parity():
         buf_fast = _io.BytesIO()
         assert write_float16_csv(buf_fast, data)
         assert buf_fast.getvalue() == buf_ref.getvalue()
+        # the memory-bounding row chunking (exercise a chunk boundary that
+        # does NOT divide the row count) must not change a byte
+        for chunk in (1, 3):
+            buf_chunked = _io.BytesIO()
+            assert write_float16_csv(buf_chunked, data, rows_per_chunk=chunk)
+            assert buf_chunked.getvalue() == buf_ref.getvalue()
     for bad in (np.array([[0.5, -0.1]]), np.array([[np.nan, 0.5]]),
                 np.array([[np.inf, 0.5]])):
         buf = _io.BytesIO()
         assert not write_float16_csv(buf, bad)
+        assert buf.getvalue() == b""
+
+
+def test_e18_csv_native_writer_byte_parity():
+    """The native %.18e formatter (rotamer mode streams full-precision
+    matrices; np.savetxt's per-cell Python formatting dominated the engine's
+    host cost at benchmark scale) must be byte-identical to np.savetxt —
+    correctly-rounded digits included — and refuse anything outside the
+    fixed-width fast path BEFORE writing a byte."""
+    import io as _io
+
+    from timed_design_tpu.io.fast_fmt import native_available, write_e18_csv
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.random((97, 338)).astype(np.float32),
+        rng.random((40, 20)),  # float64
+        np.array([[0.0, 1.0, 1 / 3, 0.1, 6e-8, 65504.0, 5.96e-8,
+                   1e-37, 3.3e38]], np.float32),
+        np.exp(rng.uniform(-220, 220, (50, 7))),  # wide f64 exponents
+        np.array([[1e-98, 1e99, 0.0, 1e-45]]),  # fast-path bounds
+    ]
+    for i, data in enumerate(cases):
+        buf_ref = _io.BytesIO()
+        np.savetxt(buf_ref, data, delimiter=",")
+        buf_fast = _io.BytesIO()
+        assert write_e18_csv(buf_fast, data), i
+        assert buf_fast.getvalue() == buf_ref.getvalue(), i
+    for bad in (np.array([[0.5, -0.1]]), np.array([[np.nan, 1.0]]),
+                np.array([[np.inf, 1.0]]), np.array([[1e-200, 1.0]]),
+                np.array([[1e101]])):  # 3-digit exponents refuse too
+        buf = _io.BytesIO()
+        assert not write_e18_csv(buf, bad)
+        assert buf.getvalue() == b""
+
+
+def test_int_csv_fast_writer_byte_parity():
+    """The digit-table int writer (encoded_labels.csv one-hots) must match
+    np.savetxt(fmt='%i') bytes and refuse multi-digit/negative/float data."""
+    import io as _io
+
+    from timed_design_tpu.io.writers import write_int_csv
+
+    rng = np.random.default_rng(11)
+    lab = np.zeros((100, 23), np.int64)
+    lab[np.arange(100), rng.integers(0, 23, 100)] = 1
+    for data in (lab, rng.integers(0, 10, (7, 4)).astype(np.int32)):
+        buf_ref = _io.BytesIO()
+        np.savetxt(buf_ref, data, delimiter=",", fmt="%i")
+        buf_fast = _io.BytesIO()
+        assert write_int_csv(buf_fast, data)
+        assert buf_fast.getvalue() == buf_ref.getvalue()
+    for bad in (np.array([[10, 1]]), np.array([[-1, 1]]),
+                np.array([[0.5, 1.0]])):
+        buf = _io.BytesIO()
+        assert not write_int_csv(buf, bad)
         assert buf.getvalue() == b""
 
 

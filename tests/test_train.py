@@ -765,6 +765,12 @@ def test_train_cli_filters_e2e(tmp_path, ubq_pdb_gz, capsys):
             "--path_to_dataset", str(h5), "--filters", "a,b",
             "--output", str(tmp_path / "x.npz"),
         ])
+    # zero/negative widths must refuse by name, not crash in flax Conv init
+    with pytest.raises(SystemExit, match="positive"):
+        train_main([
+            "--path_to_dataset", str(h5), "--filters", "0,16",
+            "--output", str(tmp_path / "z.npz"),
+        ])
 
 
 def test_fit_early_stopping_nan_divergence(monkeypatch, capsys):

@@ -155,6 +155,10 @@ def main(argv=None) -> None:
                              f"{args.filters!r}")
         if not build_kw["filters"]:
             raise SystemExit("--filters parsed to an empty stack")
+        if any(w <= 0 for w in build_kw["filters"]):
+            raise SystemExit(
+                f"--filters widths must be positive, got {args.filters!r}"
+            )
     try:
         module = spec.build(bn_momentum=args.bn_momentum, **build_kw)
     except TypeError as e:

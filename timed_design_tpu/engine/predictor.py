@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import threading
 import typing as t
 from pathlib import Path
 
@@ -44,7 +45,6 @@ from ..io import (
     save_consensus_probs,
     save_datasetmap,
     save_dict_to_fasta,
-    save_prediction_csv,
     save_srb_datasetmap,
 )
 from ..models import KerasH5Model, ModelSpec
@@ -497,17 +497,16 @@ def load_dataset_and_predict(
         """Per-model append writer: the raw matrix (full precision in
         rotamer mode, float16 otherwise) + the rotamer argmax one-hots."""
 
-        def __init__(self, model_name: str):
-            mode = "ab" if resuming else "wb"
+        def __init__(self, model_name: str, append: bool = resuming):
+            mode = "ab" if append else "wb"
             self.main_path = path_to_output / (
                 f"{model_name}_rot.csv" if predict_rotamers
                 else f"{model_name}.csv"
             )
+            self.onehot_path = path_to_output / f"{model_name}.csv"
             self._main = open(self.main_path, mode)
             self._onehot = (
-                open(path_to_output / f"{model_name}.csv", mode)
-                if predict_rotamers
-                else None
+                open(self.onehot_path, mode) if predict_rotamers else None
             )
 
         def write(self, rows: np.ndarray) -> None:
@@ -527,7 +526,7 @@ def load_dataset_and_predict(
 
     streams = [_ModelCSVStream(name) for _, name in resolved_models]
     labels_file = open(
-        path_to_output / "encoded_labels.csv", "a" if resuming else "w"
+        path_to_output / "encoded_labels.csv", "ab" if resuming else "wb"
     )
     try:
         with timer.phase("predict"):
@@ -537,11 +536,14 @@ def load_dataset_and_predict(
             pending: collections.deque = collections.deque()
             max_in_flight = max(2, 8 // n_models)
 
+            from ..io.writers import write_int_csv
+
             def _drain_one():
                 nonlocal ens_off
                 outs, y, n = pending.popleft()
-                np.savetxt(labels_file, y[:n].astype(np.int64),
-                           delimiter=",", fmt="%i")
+                y_int = y[:n].astype(np.int64)
+                if not write_int_csv(labels_file, y_int):
+                    np.savetxt(labels_file, y_int, delimiter=",", fmt="%i")
                 for i, out in enumerate(outs):
                     rows = np.asarray(out)[:n]
                     streams[i].write(rows)
@@ -549,7 +551,14 @@ def load_dataset_and_predict(
                         rows.astype(np.float16) if float16_decode else rows
                     )
                     if ens_sum is not None:
-                        ens_sum[ens_off : ens_off + n] += rows
+                        # accumulate exactly what the streamed CSV holds
+                        # (f16 rows outside rotamer mode): a fresh run and a
+                        # --start_batch resume (which re-reads the CSVs)
+                        # must produce identical ensemble bytes
+                        ens_sum[ens_off : ens_off + n] += (
+                            rows if predict_rotamers
+                            else rows.astype(np.float16)
+                        )
                 ens_off += n
 
             for X, y, n_valid in loader:
@@ -578,19 +587,12 @@ def load_dataset_and_predict(
         flow at predict.py:163)."""
         with timer.phase("write"):
             if write_csv:
-                if predict_rotamers:
-                    main_csv = save_prediction_csv(
-                        probs, model_name, path_to_output, append=False,
-                        float16=False, rotamer=True,
-                    )
-                    onehot20 = ROTAMER_TO_AA_ONEHOT[probs.argmax(axis=1)]
-                    save_prediction_csv(onehot20, model_name, path_to_output,
-                                        append=False, float16=True)
-                else:
-                    main_csv = save_prediction_csv(
-                        probs, model_name, path_to_output, append=False,
-                        float16=True,
-                    )
+                # same emit contract as the streamed per-model CSVs — one
+                # writer, so the formats cannot diverge
+                s = _ModelCSVStream(model_name, append=False)
+                s.write(probs)
+                s.close()
+                main_csv = s.main_path
             save_srb_datasetmap(dmap, model_name, path_to_output)
 
         with timer.phase("decode"):
@@ -607,6 +609,18 @@ def load_dataset_and_predict(
                         "residues — was --start_batch consistent with the "
                         "previous run's batch size?"
                     )
+                if predict_rotamers:
+                    # the paired one-hot {model}.csv was appended blindly —
+                    # a crash between the two sequential batch writes leaves
+                    # it a batch short (or long). The validated matrix is
+                    # authoritative: regenerate the derived file from it.
+                    from ..io.writers import write_prediction_rows
+
+                    onehot20 = ROTAMER_TO_AA_ONEHOT[probs.argmax(axis=1)]
+                    with open(
+                        path_to_output / f"{model_name}.csv", "wb"
+                    ) as f:
+                        write_prediction_rows(f, onehot20, float16=True)
             # the reference decodes from a float16 re-read of its CSV
             # (predict.py:163) and keeps that dtype all the way through —
             # including the NMR consensus (prev+cur)/2 accumulation, which
@@ -663,10 +677,11 @@ def load_dataset_and_predict(
     assert result is not None, "no models given"
 
     if ensemble:
-        # one float64 running sum -> mean; fresh runs accumulated the full-
-        # precision float32 device outputs during the stream, resumed runs
-        # the CSV read-backs (the members' matrices as the reference would
-        # see them, predict.py:163). The ensemble CSV is always written
+        # one float64 running sum -> mean; fresh runs accumulated CSV-
+        # precision rows during the stream, resumed runs the CSV read-backs
+        # (the members' matrices as the reference would see them,
+        # predict.py:163) — identical values, so resume cannot flip
+        # near-tied ensemble argmaxes. The ensemble CSV is always written
         # fresh — its member sums are complete either way.
         mean_probs = ens_sum / n_models
         decoded, _ = _emit_outputs(
@@ -710,6 +725,10 @@ _STRUCTURE_PREDICTOR_CACHE: collections.OrderedDict = (
     collections.OrderedDict()
 )
 _STRUCTURE_PREDICTOR_CAPACITY = 4
+# one lock around lookup+insert+evict: predict_structure is documented for
+# concurrent callers (serving worker threads), and an unlocked get ->
+# move_to_end pair can straddle another thread's eviction (KeyError)
+_STRUCTURE_PREDICTOR_LOCK = threading.Lock()
 
 
 def predict_structure(
@@ -744,21 +763,28 @@ def predict_structure(
         # didn't opt in (that caller is owed _resolve_model's ValueError)
         bool(allow_random_weights),
     )
-    hit = _STRUCTURE_PREDICTOR_CACHE.get(cache_key)
+    with _STRUCTURE_PREDICTOR_LOCK:
+        hit = _STRUCTURE_PREDICTOR_CACHE.get(cache_key)
+        if hit is not None:
+            _STRUCTURE_PREDICTOR_CACHE.move_to_end(cache_key)
     if hit is not None:
         predictor, model_name = hit[0], hit[1]
-        _STRUCTURE_PREDICTOR_CACHE.move_to_end(cache_key)
     else:
+        # resolve + construct outside the lock (Predictor init may compile);
+        # concurrent misses on the same key waste a build but stay correct —
+        # last insert wins
         resolved, model_name = _resolve_model(
             model, allow_random_weights=allow_random_weights
         )
         predictor = Predictor(resolved, batch_size=batch_size, mesh=mesh,
                               model_name=model_name)
-        _STRUCTURE_PREDICTOR_CACHE[cache_key] = (
-            predictor, model_name, model, mesh,
-        )
-        while len(_STRUCTURE_PREDICTOR_CACHE) > _STRUCTURE_PREDICTOR_CAPACITY:
-            _STRUCTURE_PREDICTOR_CACHE.popitem(last=False)
+        with _STRUCTURE_PREDICTOR_LOCK:
+            _STRUCTURE_PREDICTOR_CACHE[cache_key] = (
+                predictor, model_name, model, mesh,
+            )
+            while (len(_STRUCTURE_PREDICTOR_CACHE)
+                   > _STRUCTURE_PREDICTOR_CAPACITY):
+                _STRUCTURE_PREDICTOR_CACHE.popitem(last=False)
     if codec is None:
         # registry models know their codec (TIMED_Charge needs the 6-channel
         # CNOCACBQ — hardcoding CNOCACB here built 5-channel frames for it);
