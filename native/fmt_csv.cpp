@@ -21,12 +21,25 @@
 #include <thread>
 #include <vector>
 #include <atomic>
+#include <locale.h>
 
 namespace {
+
+// snprintf honors the process LC_NUMERIC: an embedding application that
+// later calls setlocale(LC_NUMERIC, "de_DE") would make "%.18e" emit a
+// comma decimal point — still exactly 24 chars, so the width check alone
+// would pass while silently corrupting the CSV. Pin the "C" locale
+// per-thread (uselocale is thread-local) for the duration of formatting.
+locale_t c_numeric_locale() {
+    static locale_t loc = newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+    return loc;
+}
 
 // formats rows [lo, hi); sets *ok to false on any width violation
 void fmt_rows(const double* vals, size_t c, size_t lo, size_t hi,
               char* out, std::atomic<bool>* ok) {
+    locale_t pinned = c_numeric_locale();
+    locale_t prev = pinned ? uselocale(pinned) : (locale_t)0;
     char buf[40];
     for (size_t i = lo; i < hi && ok->load(std::memory_order_relaxed); ++i) {
         const double* row = vals + i * c;
@@ -35,6 +48,7 @@ void fmt_rows(const double* vals, size_t c, size_t lo, size_t hi,
             int w = snprintf(buf, sizeof buf, "%.18e", row[j]);
             if (w != 24) {
                 ok->store(false, std::memory_order_relaxed);
+                if (prev) uselocale(prev);
                 return;
             }
             for (int k = 0; k < 24; ++k) dst[k] = buf[k];
@@ -42,6 +56,7 @@ void fmt_rows(const double* vals, size_t c, size_t lo, size_t hi,
             dst += 25;
         }
     }
+    if (prev) uselocale(prev);
 }
 
 }  // namespace

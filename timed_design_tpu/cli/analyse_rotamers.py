@@ -92,12 +92,23 @@ def main(argv=None) -> None:
         for pdb in decoded.pdb_to_real_sequence:
             asm = assemblies.get(pdb[:4])
             if asm is None:
+                # surface the degradation: with no rebuilt sequence this
+                # chain's wild-type SCWRL analysis is silently skipped
+                # downstream (the reference fails loudly with a KeyError,
+                # analyse_rotamers.py:69-71)
+                print(f"Could not find assembly {pdb[:4]} to rebuild the "
+                      f"real sequence for {pdb}; wild-type analysis will "
+                      f"skip it")
                 continue
             chain = next(
                 (c for c in asm.chains if c.chain_id == pdb[4:]), None
             )
             if chain is not None:
                 decoded.pdb_to_real_sequence[pdb] = chain.sequence1()
+            else:
+                print(f"Could not find chain {pdb[4:]} in {pdb[:4]} to "
+                      f"rebuild the real sequence for {pdb}; wild-type "
+                      f"analysis will skip it")
 
     # Analysis 1: predictions vs wild-type crystal rotamers
     m1 = calculate_rotamer_metrics(

@@ -39,7 +39,12 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            # rebuild only when the source is present AND newer; an installed
+            # package may ship libfmt_csv.so without the .cpp — a missing
+            # source must not discard a valid prebuilt library
+            if not _LIB.exists() or (
+                _SRC.exists() and _LIB.stat().st_mtime < _SRC.stat().st_mtime
+            ):
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB),
                      str(_SRC)],

@@ -35,7 +35,11 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            # a missing .cpp (installed package shipping only the .so) must
+            # not discard a valid prebuilt library
+            if not _LIB.exists() or (
+                _SRC.exists() and _LIB.stat().st_mtime < _SRC.stat().st_mtime
+            ):
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
                     check=True, capture_output=True,
