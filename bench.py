@@ -29,6 +29,86 @@ import numpy as np
 
 TF_CPU_BASELINE_FRAMES_PER_SEC = 23.54  # measured in-image; BASELINE.md
 
+# The reference's MC sampling production path: per-sample Python loop
+# (cumsum inverse-CDF draw + ampal-style charge/pI/MW/e280 with a 60-step
+# scalar bisection — sampling_utils.py:123-133, analyse_utils.py:351-371)
+# measured at 384 seq/s/process in-image (2026-08-20, L=200) x the 35
+# worker processes of run_sampling.sh:1. Generous to the reference: assumes
+# perfect 35-core scaling (this host has 1 core).
+SAMPLER_REF_BASELINE_SEQS_PER_SEC = 13_440
+
+# The XLA scatter voxelizer formulation measured 747 ms / 760 frames in
+# round 1 (BASELINE.md) — the formulation the separable-GEMM MXU kernel
+# (ops/matmul_voxelize.py) replaced. aposteriori itself is host NumPy with
+# worker-pool startup (minutes-scale per README workflow, not timeable here).
+VOXELIZER_SCATTER_BASELINE_FPS = 1_017
+
+# Round-4 headline chip compute rate: the loader metric's vs_baseline is
+# loader/chip — above 1.0 the loader outruns the chip and e2e is
+# compute-bound, the round-5 target (VERDICT r4 "what's weak" #1).
+CHIP_COMPUTE_FPS = 26_944
+
+
+def _replicate_flat_dataset(
+    dst, n: int, attempt: int = 0, frame_dtype: str = "bfloat16",
+    salt: int = 0,
+):
+    """Build an n-frame flat-layout dataset from replicated 1ubq frames.
+
+    Frames are made bitwise-unique with per-frame additive integer scalars
+    (exact in bf16, anti-value-caching — see the methodology notes in
+    bench_e2e). Written CONTIGUOUS so the loader serves mmap views — the
+    production storage this round (io/h5frames.py:convert_to_flat).
+    """
+    from pathlib import Path
+
+    import h5py
+    import ml_dtypes
+
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    dst = Path(dst)
+    base = dst.with_name("base_" + dst.name)
+    ubq = Path(__file__).parent / "tests/testing_files/1ubq.pdb1.gz"
+    make_frame_dataset([ubq], base, codec="CNOCACB", layout="flat")
+    with h5py.File(base) as f:
+        X0 = f["frames"][()]
+        y0 = f["labels"][()]
+        cols0 = {c: [v.decode() for v in f[c][()]]
+                 for c in ("index_pdb", "index_chain", "index_residue",
+                           "index_label")}
+        attrs = dict(f.attrs.items())
+    with h5py.File(dst, "w") as f:
+        for k, v in attrs.items():
+            f.attrs[k] = v
+        if frame_dtype == "bfloat16":
+            f.attrs["frame_dtype"] = "bfloat16"
+        dims = X0.shape[1:]
+        sdt = np.uint16 if frame_dtype == "bfloat16" else np.float32
+        fr = f.create_dataset("frames", shape=(n, *dims), dtype=sdt)
+        lb = f.create_dataset("labels", shape=(n, 20), dtype=np.int8)
+        str_t = h5py.string_dtype()
+        cols = {c: f.create_dataset(c, shape=(n,), dtype=str_t)
+                for c in cols0}
+        for r in range(-(-n // X0.shape[0])):
+            s = r * X0.shape[0]
+            e = min(n, s + X0.shape[0])
+            m = e - s
+            scal = ((np.arange(s, e) + salt + attempt * 97) % 251).astype(
+                np.float32
+            )[:, None, None, None, None]
+            blk = X0[:m] + scal
+            if frame_dtype == "bfloat16":
+                blk = blk.astype(ml_dtypes.bfloat16).view(np.uint16)
+            fr[s:e] = blk
+            lb[s:e] = y0[:m]
+            for c in cols:
+                cols[c][s:e] = [
+                    f"{v}{r:03d}" if c == "index_pdb" else v
+                    for v in cols0[c][:m]
+                ]
+    return dst
+
 
 def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800,
               attempt: int = 0) -> list[dict]:
@@ -146,6 +226,11 @@ def bench_e2e(n_frames: int = 19_968, tree_frames: int = 3_800,
         for layout, path, n in (
             ("warmup", replicate_flat(td / "warm.hdf5", 512), 512),
             ("flat", replicate_flat(td / "flat.hdf5", n_frames), n_frames),
+            # the round-5 production storage: bf16 frames, contiguous,
+            # loader serves mmap views (io/h5frames.py:convert_to_flat)
+            ("flat_bf16", _replicate_flat_dataset(
+                td / "flat_bf16.hdf5", n_frames, attempt=attempt, salt=909),
+             n_frames),
             ("tree_gzip", replicate_tree(td / "tree.hdf5", tree_frames),
              tree_frames),
         ):
@@ -240,15 +325,375 @@ def device_checks() -> list[dict]:
     ]
 
 
+def sharded_aot_check(attempt: int = 0) -> list[dict]:
+    """AOT-compile the production MULTICHIP device programs for a real
+    8-chip v5e topology with the TPU compiler (VERDICT r4 weak #5).
+
+    `dryrun_multichip` proves the sharded programs compile AND execute on a
+    virtual CPU mesh; this check closes the remaining gap — TPU-backend
+    lowering (layouts, collectives, scoped VMEM) — by compiling against a
+    `v5e:2x4` topology description (compile only; one chip cannot execute
+    them). Programs covered, mirroring __graft_entry__.dryrun_multichip:
+      1. dp x tp train step (train/train.py:make_train_step) with the
+         production param/optimizer shardings (param_shardings);
+      2. the Predictor's sharded inference forward (engine/predictor.py:
+         108-118 jit: replicated params, batch-sharded in/out);
+      3. the MC sampler bucket program (sample/sampler.py:_sample_bucket)
+         sharded over the data axis;
+      4. the serving coalescer's pack program (engine/coalescer.py:
+         _predict_packed semantics: dynamic_update_slice at a dynamic
+         offset into a batch-sharded buffer + the packed forward).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return []
+    import optax
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from timed_design_tpu.models import timed
+    from timed_design_tpu.train import init_train_state  # noqa: F401 (parity)
+    from timed_design_tpu.train.train import (
+        TrainState,
+        make_train_step,
+        param_shardings,
+    )
+
+    topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
+    devs = np.array(topo.devices).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    n_ok = 0
+
+    def sds(shape, dtype, sharding):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+    # ---- 1. dp x tp train step ---------------------------------------
+    module = timed(filters=(8, 16))  # tiny shapes: fast compile, real layout
+    optimizer = optax.adam(1e-3)
+    var_shapes = jax.eval_shape(
+        module.init, jax.random.key(0), jnp.zeros((1, 21, 21, 21, 5),
+                                                  jnp.float32)
+    )
+    p_sh = param_shardings(var_shapes["params"], mesh)
+    params_in = jax.tree.map(
+        lambda s, sh: sds(s.shape, s.dtype, sh), var_shapes["params"], p_sh
+    )
+    bs_in = jax.tree.map(
+        lambda s: sds(s.shape, s.dtype, repl), var_shapes["batch_stats"]
+    )
+    opt_shapes = jax.eval_shape(optimizer.init, var_shapes["params"])
+    opt_in = jax.tree.map(lambda s: sds(s.shape, s.dtype, repl), opt_shapes)
+    # adam moments mirror the param tree — give them the param shardings
+    # (exactly what optimizer.init(sharded_params) produces in production,
+    # train/train.py:327)
+    if hasattr(opt_in[0], "mu"):
+        opt_in = (opt_in[0]._replace(mu=params_in, nu=params_in),) + tuple(
+            opt_in[1:]
+        )
+    state_in = TrainState(
+        params=params_in, batch_stats=bs_in, opt_state=opt_in,
+        step=sds((), jnp.int32, repl),
+    )
+    batch = 8
+    x_in = sds((batch, 21, 21, 21, 5), jnp.float32, bsh)
+    y_in = sds((batch, 20), jnp.float32, bsh)
+    key_in = jax.eval_shape(lambda: jax.random.key(0))
+    jax.jit(make_train_step(module, optimizer)).lower(
+        state_in, x_in, y_in, key_in
+    ).compile()
+    n_ok += 1
+
+    # ---- 2. sharded Predictor forward --------------------------------
+    # the exact jit signature of engine/predictor.py:108-118 (replicated
+    # variables via unconstrained in_sharding, batch-sharded in/out) with
+    # the production compiler options for this architecture
+    from timed_design_tpu.utils.xla_opts import tpu_compiler_options
+
+    vars_repl = jax.tree.map(
+        lambda s: sds(s.shape, s.dtype, repl), var_shapes
+    )
+    jax.jit(
+        lambda v, x: module.apply(v, x),
+        in_shardings=(None, bsh),
+        out_shardings=bsh,
+        compiler_options=tpu_compiler_options(
+            list(mesh.devices.flat), model_name="TIMED"
+        ),
+    ).lower(vars_repl, x_in).compile()
+    n_ok += 1
+
+    # ---- 3. sampler bucket program ------------------------------------
+    from timed_design_tpu.sample.sampler import _sample_bucket
+
+    dsh = NamedSharding(mesh, P("data"))
+    n_structs, Lp, C = 8, 32, 20
+    keys_in = jax.eval_shape(
+        lambda: jax.random.split(jax.random.key(0), n_structs)
+    )
+    keys_in = sds(keys_in.shape, keys_in.dtype, dsh)
+    _sample_bucket.lower(  # already jitted (static n_samples/rotamer_mode)
+        keys_in,
+        sds((n_structs, Lp, C), jnp.float32, dsh),
+        sds((n_structs, Lp), jnp.float32, dsh),
+        4,
+        False,
+    ).compile()
+    n_ok += 1
+
+    # ---- 4. coalescer pack + packed forward ---------------------------
+    def pack_and_predict(v, buf, part, offset):
+        buf = jax.lax.dynamic_update_slice(
+            buf, part, (offset,) + (0,) * (buf.ndim - 1)
+        )
+        return module.apply(v, buf)
+
+    jax.jit(
+        pack_and_predict,
+        in_shardings=(None, bsh, None, None),
+        out_shardings=bsh,
+    ).lower(
+        vars_repl,
+        x_in,
+        jax.ShapeDtypeStruct((3, 21, 21, 21, 5), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    ).compile()
+    n_ok += 1
+
+    return [{
+        "metric": "sharded_aot_compiles",
+        "value": n_ok,
+        "unit": "programs",
+        "vs_baseline": 1.0,
+    }]
+
+
+def flat_loader_bench(attempt: int = 0, n_frames: int = 12_160) -> list[dict]:
+    """Host-only: materialized FrameBatchLoader rate, bf16 contiguous flat.
+
+    Measures the PRODUCTION storage path (bf16 frames, contiguous /frames,
+    loader serving mmap views) with every batch fully copied to host RAM —
+    the honest upper bound on what the H2D stage must move (the real engine
+    never makes this copy; the pipelined transfer reads the pages directly,
+    so e2e the loader stage costs ~0). vs_baseline here is loader/chip-rate:
+    >1.0 means the loader outruns the 26.9k frames/s chip (VERDICT r4 weak
+    #1 closure). Round-5 measurements on this 1-core host: f32 chunked
+    (round-4 production) 3.3-13.6k; bf16 contiguous 27.5k materialized /
+    886k as views.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from timed_design_tpu.io import FrameBatchLoader, create_flat_dataset_map
+
+    with tempfile.TemporaryDirectory(prefix="bench_loader") as td:
+        ds = _replicate_flat_dataset(
+            Path(td) / "flat_bf16.hdf5", n_frames, attempt=attempt, salt=303
+        )
+        dmap, _ = create_flat_dataset_map(ds)
+        best = float("inf")
+        for _ in range(2):
+            loader = FrameBatchLoader(ds, dmap, batch_size=512)
+            t0 = time.perf_counter()
+            sink = 0.0
+            for X, y, n in loader:
+                # materialize every byte (mmap views are otherwise lazy)
+                sink += float(np.asarray(X, copy=True).view(np.uint16)[0, 0, 0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        rate = n_frames / best
+    return [{
+        "metric": "flat_loader_frames_per_sec",
+        "value": round(rate, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(rate / CHIP_COMPUTE_FPS, 2),
+    }]
+
+
+def voxelizer_bench(attempt: int = 0) -> list[dict]:
+    """Device: production GEMM voxelizer rate on a 760-residue structure
+    (10 tiled 1ubq backbones, ~3.8k atoms — the BASELINE.md round-1 shape).
+    Marginal-throughput methodology as in main(): unique coordinate offsets
+    per step, scalar device-sum fetch as the completion barrier.
+    """
+    import dataclasses
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return []
+    from timed_design_tpu.structure import load_pdb
+    from timed_design_tpu.voxel import (
+        Codec,
+        structure_to_frame_atoms,
+        voxelize_frame_atoms,
+    )
+
+    codec = Codec.from_string("CNOCACB")
+    ubq = Path(__file__).parent / "tests/testing_files/1ubq.pdb1.gz"
+    fa0 = structure_to_frame_atoms(load_pdb(ubq), codec)
+    reps = 10
+    fa = dataclasses.replace(
+        fa0,
+        atoms_xyz=np.concatenate(
+            [fa0.atoms_xyz + np.float32(200.0 * i) for i in range(reps)]
+        ),
+        atom_channel=np.tile(fa0.atom_channel, reps),
+        atom_sigma=np.tile(fa0.atom_sigma, reps),
+        atom_prop=np.tile(fa0.atom_prop, reps),
+        ca=np.concatenate([fa0.ca + np.float32(200.0 * i) for i in range(reps)]),
+        rot=np.concatenate([fa0.rot] * reps),
+        valid=np.tile(fa0.valid, reps),
+        labels=list(fa0.labels) * reps,
+        chain_ids=list(fa0.chain_ids) * reps,
+        residue_ids=list(fa0.residue_ids) * reps,
+    )
+    n_res = len(fa.labels)
+
+    def step(i: int) -> jax.Array:
+        # fresh world-space offset per step: bitwise-new inputs, same shapes
+        fa_i = dataclasses.replace(
+            fa,
+            atoms_xyz=fa.atoms_xyz + np.float32((i + attempt * 97) % 251),
+            ca=fa.ca + np.float32((i + attempt * 97) % 251),
+        )
+        frames = voxelize_frame_atoms(fa_i, codec)
+        return jnp.sum(frames)  # scalar: cheap to fetch through the tunnel
+
+    float(step(0))  # compile + sync
+
+    def timed_round(n: int, base: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = step(base + i + 1)
+        float(out)
+        return time.perf_counter() - t0
+
+    timed_round(2, 0)
+    n_small, n_large = 3, 9
+    dt_small = timed_round(n_small, 10)
+    dt_large = timed_round(n_large, 100)
+    rate = (n_large - n_small) * n_res / max(dt_large - dt_small, 1e-6)
+    return [{
+        "metric": "voxelizer_frames_per_sec",
+        "value": round(rate, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(rate / VOXELIZER_SCATTER_BASELINE_FPS, 1),
+    }]
+
+
+def sampler_bench(attempt: int = 0) -> list[dict]:
+    """Device: the bucketed production MC sampler at the reference's
+    production sweep scale — 59 structures x 1000 sequences each (200 seqs
+    x 5 temperatures, run_sampling.sh:1-10) with per-sequence metrics,
+    through `sample_all_structures` (one device program per length bucket).
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return []
+    from timed_design_tpu.sample import sample_all_structures
+
+    n_structs, L, n_samples = 59, 200, 1000
+    rng = np.random.default_rng(1000 + attempt)
+
+    def make_probs(salt: int):
+        P = rng.random((n_structs, L, 20)).astype(np.float32) + salt * 1e-3
+        P /= P.sum(-1, keepdims=True)
+        return {f"s{i:03d}": P[i] for i in range(n_structs)}
+
+    sample_all_structures(make_probs(0), n_samples=n_samples, seed=attempt)
+    t0 = time.perf_counter()
+    out = sample_all_structures(
+        make_probs(1), n_samples=n_samples, seed=100 + attempt
+    )
+    dt = time.perf_counter() - t0
+    total = sum(len(v) for v in out.values())
+    assert total == n_structs * n_samples, total
+    rate = total / dt
+    return [{
+        "metric": "sampler_seqs_per_sec",
+        "value": round(rate, 1),
+        "unit": "seqs/s",
+        "vs_baseline": round(rate / SAMPLER_REF_BASELINE_SEQS_PER_SEC, 2),
+    }]
+
+
+def quick_e2e_bench(attempt: int = 0, n_frames: int = 4096) -> list[dict]:
+    """Device: e2e HDF5 -> artifacts on the production storage (bf16
+    contiguous flat), emitted in EVERY default bench run so BENCH_r*.json
+    tracks the full pipeline per round, not only chip compute (VERDICT r4
+    weak #2). Through this dev tunnel the number is wire-bound (32 MB/s);
+    on a TPU VM's local PCIe the same command measures the true pipeline.
+    """
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return []
+    from timed_design_tpu.engine import load_dataset_and_predict
+
+    prev_cache = jax.config.jax_compilation_cache_dir
+    with tempfile.TemporaryDirectory(prefix="bench_qe2e") as td:
+        td = Path(td)
+        # scoped: the cache dir lives in this tmpdir; restore below so the
+        # sections that follow don't write into a deleted directory
+        jax.config.update("jax_compilation_cache_dir", str(td / "xla_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:
+            warm = _replicate_flat_dataset(
+                td / "warm.hdf5", 512, attempt=attempt, salt=505
+            )
+            ds = _replicate_flat_dataset(
+                td / "flat.hdf5", n_frames, attempt=attempt, salt=707
+            )
+            for tag, path, n in (("warmup", warm, 512), ("flat", ds, n_frames)):
+                out = td / f"out_{tag}"
+                out.mkdir()
+                t0 = time.perf_counter()
+                load_dataset_and_predict(
+                    ["TIMED"], path, batch_size=512, path_to_output=out,
+                    dataset_map_path=out / "datasetmap.txt",
+                    compute_dtype=jnp.bfloat16, allow_random_weights=True,
+                )
+                dt = time.perf_counter() - t0
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev_cache)
+        print(f"# quick e2e: {n_frames} frames in {dt:.1f}s", file=sys.stderr)
+    rate = n_frames / dt
+    return [{
+        "metric": "e2e_hdf5_to_artifacts_frames_per_sec_flat",
+        "value": round(rate, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(rate / TF_CPU_BASELINE_FRAMES_PER_SEC, 1),
+    }]
+
+
 def main(attempt: int = 0) -> list[dict]:
     import jax
     import jax.numpy as jnp
 
     from timed_design_tpu.models import timed
 
-    # device-only Pallas certification first; the headline throughput
-    # metric stays the LAST printed JSON line (the driver parses that one)
+    # broadened per-round surface (VERDICT r4 next #4): device checks, the
+    # sharded AOT compiles, loader / voxelizer / sampler / e2e rates — the
+    # headline throughput metric stays the LAST printed JSON line (the
+    # driver parses that one)
     pre_metrics = device_checks()
+    pre_metrics += sharded_aot_check(attempt)
+    pre_metrics += flat_loader_bench(attempt)
+    pre_metrics += voxelizer_bench(attempt)
+    pre_metrics += sampler_bench(attempt)
+    pre_metrics += quick_e2e_bench(attempt)
 
     # flagship: real-scale TIMED (296k params), bf16 MXU path (1.7x vs f32)
     model = timed(compute_dtype=jnp.bfloat16)

@@ -94,6 +94,35 @@ def test_load_dataset_and_predict_artifacts(tmp_path, monkeypatch, ubq_h5):
     assert srb.endswith("1ubqA 76\n")
 
 
+def test_engine_bf16_flat_storage_bitwise_equal(ubq_h5, tmp_path):
+    """bf16 flat storage through the full engine produces artifacts
+    byte-identical to f32 storage under the production bf16 compute path —
+    the storage cast IS the wire cast (Predictor.to_device), just moved to
+    dataset-build time. This is what makes the 2x loader win free."""
+    import jax.numpy as jnp
+
+    from timed_design_tpu.io import convert_to_flat
+
+    f32 = convert_to_flat(ubq_h5, tmp_path / "f32.hdf5")
+    b16 = convert_to_flat(ubq_h5, tmp_path / "b16.hdf5",
+                          frame_dtype="bfloat16")
+    outs = {}
+    for tag, ds in (("f32", f32), ("b16", b16)):
+        out = tmp_path / f"out_{tag}"
+        out.mkdir()
+        load_dataset_and_predict(
+            ["TIMED"], ds, batch_size=32, path_to_output=out,
+            dataset_map_path=out / "datasetmap.txt",
+            compute_dtype=jnp.bfloat16, allow_random_weights=True,
+        )
+        outs[tag] = out
+    for name in ("TIMED.csv", "TIMED.fasta", "dataset.fasta",
+                 "encoded_labels.csv"):
+        assert (outs["f32"] / name).read_bytes() == (
+            outs["b16"] / name
+        ).read_bytes(), f"{name} differs between f32 and bf16 storage"
+
+
 def test_registry_name_without_weights_hard_errors(ubq_h5, tmp_path):
     """A bare registry name (no weights) must refuse to predict: silently
     random outputs are indistinguishable from real designs (VERDICT r1 weak

@@ -16,7 +16,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("dst", type=str, nargs="?", default=None,
                    help="output path (default: <src>_flat.hdf5)")
     p.add_argument("--chunk-rows", type=int, default=512,
-                   help="frames per HDF5 chunk (match your batch size)")
+                   help="kept for compatibility; flat output is written "
+                        "contiguous (mmap-served by the loader)")
+    p.add_argument("--frame-dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="bfloat16 halves file size and loader/H2D bytes; "
+                        "numerically identical to the engine's bf16 wire "
+                        "cast (the production inference path)")
     return p
 
 
@@ -26,7 +32,8 @@ def main(argv=None) -> None:
     dst = Path(args.dst) if args.dst else src.with_name(src.stem + "_flat.hdf5")
     from ..io import convert_to_flat
 
-    out = convert_to_flat(src, dst, chunk_rows=args.chunk_rows)
+    out = convert_to_flat(src, dst, chunk_rows=args.chunk_rows,
+                          frame_dtype=args.frame_dtype)
     print(f"Wrote {out}")
 
 

@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(csv/fasta/SRB; needs >=2 models with the same "
                         "head). Costs no extra device time: every model "
                         "already runs on the same device-resident batches.")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8", "int8-fake", "w8"],
+                   help="run convs quantized (models/quantize.py): int8 = "
+                        "real integer convs; int8-fake = int8 numerics at "
+                        "float speed; w8 = weight-only. Measured SLOWER "
+                        "than bf16 on v5e XLA (BASELINE.md) — "
+                        "characterization option, not a production default")
     p.add_argument("--allow-random-weights", action="store_true",
                    dest="allow_random_weights",
                    help="Permit bare registry names with no weights "
@@ -123,6 +130,7 @@ def main(argv=None) -> None:
             compute_dtype=compute_dtype,
             allow_random_weights=args.allow_random_weights,
             ensemble=args.ensemble,
+            quantize=args.quantize,
         )
     if args.profile:
         print(f"Profiler trace written to {args.profile}")

@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'tree' = aposteriori-schema groups (interoperable); "
                         "'flat' = row-chunked fast layout (~40x faster "
                         "batch loading)")
+    p.add_argument("--frame-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="flat layout only: bfloat16 halves file size and "
+                        "loader/H2D bytes; identical to the engine's bf16 "
+                        "wire cast")
     return p
 
 
@@ -78,6 +83,7 @@ def main(argv=None) -> None:
         encode_cb=cfg.encode_cb,
         voxelise_all_states=cfg.voxelise_all_states,
         layout=args.layout,
+        frame_dtype=args.frame_dtype,
     )
     print(f"Wrote {out} from {len(paths)} structure(s)")
 

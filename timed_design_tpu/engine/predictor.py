@@ -75,6 +75,7 @@ class Predictor:
         mesh=None,
         transfer_dtype=None,
         model_name: str | None = None,
+        quantize: str | None = None,
     ):
         """``model``: a KerasH5Model, or ``(flax_module, variables)``.
 
@@ -86,12 +87,19 @@ class Predictor:
 
         ``model_name``: registry name, used to skip the tuned compiler
         options on architectures where they measured slower (ProDCoNN).
+
+        ``quantize``: None (production) or a ``models/quantize.py`` mode
+        ('int8'/'int8-fake'/'w8') — traces the forward with quantized
+        convs. Measured SLOWER than bf16 on this chip's XLA build
+        (BASELINE.md "Quantized inference"); kept as a characterized
+        option, not a default.
         """
         self.mesh = mesh if mesh is not None else make_mesh()
         n_data = self.mesh.shape["data"]
         # round batch up so it splits evenly across the data axis
         self.batch_size = -(-batch_size // n_data) * n_data
         self._transfer_dtype = transfer_dtype
+        self.quantize = quantize
 
         if isinstance(model, KerasH5Model):
             fn = model.apply
@@ -101,6 +109,10 @@ class Predictor:
             module, params = model
             fn = lambda v, x: module.apply(v, x)  # noqa: E731
             self.n_classes = module.n_classes
+        if quantize is not None:
+            from ..models.quantize import quantize_fn
+
+            fn = quantize_fn(fn, quantize)
         self.params = replicate(params, self.mesh)
         self._sharding = batch_sharding(self.mesh)
         from ..utils.xla_opts import tpu_compiler_options
@@ -330,6 +342,7 @@ def load_dataset_and_predict(
     compute_dtype=None,
     allow_random_weights: bool = False,
     ensemble: bool = False,
+    quantize: str | None = None,
 ) -> PredictionResult:
     """Engine entry point — reference-parity surface (predict.py:28-194).
 
@@ -426,7 +439,8 @@ def load_dataset_and_predict(
         resolved_models.append((model, model_name + model_name_suffix))
     predictors = [
         Predictor(model, batch_size=batch_size, mesh=mesh,
-                  transfer_dtype=compute_dtype, model_name=name)
+                  transfer_dtype=compute_dtype, model_name=name,
+                  quantize=quantize)
         for model, name in resolved_models
     ]
     if ensemble:

@@ -16,10 +16,30 @@ import warnings
 from pathlib import Path
 
 import h5py
+import ml_dtypes
 import numpy as np
 
 from ..constants import AA3, AA3_TO_INT, UNCOMMON_RESIDUE_DICT
 from .datasetmap import DatasetMap
+
+
+def flat_frame_dtype(f: h5py.File) -> np.dtype:
+    """Logical dtype of a flat file's ``/frames`` dataset.
+
+    bfloat16 frames are stored as their raw bits in a uint16 dataset (HDF5
+    has no bfloat16 type) with ``frame_dtype='bfloat16'`` in the file attrs;
+    everything else reads as the dataset's own dtype.
+    """
+    if str(f.attrs.get("frame_dtype", "")) == "bfloat16":
+        return np.dtype(ml_dtypes.bfloat16)
+    return f["frames"].dtype
+
+
+def read_flat_frames(f: h5py.File, sel=np.s_[:]) -> np.ndarray:
+    """Read (a slice of) a flat file's frames in their logical dtype."""
+    raw = f["frames"][sel]
+    logical = flat_frame_dtype(f)
+    return raw.view(logical) if raw.dtype != logical else raw
 
 
 @dataclasses.dataclass
@@ -376,16 +396,66 @@ class FrameBatchLoader:
             [key_to_row[(p, c, r)] for p, c, r, _ in self.entries], np.int64
         )
 
+    def _flat_setup(self, f: h5py.File):
+        """Pick the fastest read path for this flat file.
+
+        Returns ``(mm, logical)``: an ``np.memmap`` over the raw frame bytes
+        when the dataset is contiguous and unfiltered (full in-order batches
+        then yield zero-copy views — the page-cache read happens inside the
+        pipelined H2D transfer instead of a host memcpy stage), else
+        ``mm=None`` and batches go through ``read_direct``. ``logical`` is
+        the dtype batches are yielded in (bfloat16 for bf16-stored files —
+        numerically identical to the engine's own bf16 wire cast of float32
+        frames, `engine/predictor.py:to_device`)."""
+        ds = f["frames"]
+        logical = flat_frame_dtype(f)
+        mm = None
+        try:
+            offset = ds.id.get_offset()  # None for chunked datasets
+            if (
+                ds.chunks is None
+                and ds.compression is None
+                and offset is not None
+            ):
+                mm = np.memmap(
+                    self.dataset_path, dtype=ds.dtype, mode="r",
+                    offset=offset, shape=ds.shape,
+                )
+        except Exception:
+            mm = None
+        return mm, logical
+
     def _read_batch_flat(
-        self, f: h5py.File, rows: np.ndarray, index: int
+        self,
+        f: h5py.File,
+        rows: np.ndarray,
+        index: int,
+        mm: np.ndarray | None = None,
+        logical: np.dtype | None = None,
     ) -> tuple[np.ndarray, np.ndarray, int]:
         sel = rows[index * self.batch_size : (index + 1) * self.batch_size]
         n = len(sel)
         ds = f["frames"]
-        X = np.zeros((self.batch_size, *ds.shape[1:]), np.float32)
-        start = int(sel[0])
-        if n and np.array_equal(sel, np.arange(start, start + n)):
-            # contiguous run: single read_direct (~20k frames/s/core)
+        if logical is None:
+            logical = flat_frame_dtype(f)
+        # bf16 files read raw uint16 bits and reinterpret; everything else
+        # keeps the historical float32 batch dtype (read_direct casts)
+        buf_dtype = ds.dtype if logical != ds.dtype else np.float32
+        start = int(sel[0]) if n else 0
+        in_order = bool(n) and np.array_equal(sel, np.arange(start, start + n))
+        if in_order and mm is not None and n == self.batch_size:
+            # zero-copy view into the file mapping (views keep the mmap
+            # alive via .base); no padding needed for a full batch
+            X = mm[start : start + n]
+            if logical != X.dtype:
+                X = X.view(logical)
+            y = np.zeros((self.batch_size, 20), np.float32)
+            y[:n] = np.asarray(f["labels"][start : start + n], np.float32)
+            return X, y, n
+        X = np.zeros((self.batch_size, *ds.shape[1:]), buf_dtype)
+        if in_order:
+            # contiguous run: single read_direct (~20k f32 / ~35k bf16
+            # frames/s/core measured on a 1-core host)
             ds.read_direct(X[:n], np.s_[start : start + n])
             labels = f["labels"][start : start + n]
         else:  # arbitrary order: sorted fancy read, then un-sort
@@ -395,6 +465,8 @@ class FrameBatchLoader:
             X[order] = tmp
             labels = np.zeros((n, 20), f["labels"].dtype)
             labels[order] = f["labels"][sorted_rows.tolist()]
+        if logical != X.dtype:
+            X = X.view(logical)
         y = np.zeros((self.batch_size, 20), np.float32)
         y[:n] = np.asarray(labels, np.float32)
         return X, y, n
@@ -436,8 +508,10 @@ class FrameBatchLoader:
                         rows = self._flat_rows(f)
                         if perm is not None:
                             rows = rows[perm]
+                        mm, logical = self._flat_setup(f)
                         for index in range(self.start_batch, self.n_batches):
-                            if not put(self._read_batch_flat(f, rows, index)):
+                            if not put(self._read_batch_flat(
+                                    f, rows, index, mm, logical)):
                                 return
                     else:
                         entries = (
@@ -469,26 +543,49 @@ class FrameBatchLoader:
 
 
 def convert_to_flat(
-    src: Path, dst: Path, chunk_rows: int = 512
+    src: Path, dst: Path, chunk_rows: int = 512,
+    frame_dtype: str = "float32",
 ) -> Path:
     """Convert an aposteriori tree-layout dataset to the flat fast layout.
 
     One-time cost; afterwards batch loading runs ~40x faster on gzip tree
-    datasets (tiny per-residue compressed reads -> row-chunked read_direct).
-    Frame values and order are preserved exactly (the flat row order is the
-    create_flat_dataset_map order of the source).
+    datasets (tiny per-residue compressed reads -> contiguous reads / mmap
+    views). Frame values and order are preserved exactly (the flat row order
+    is the create_flat_dataset_map order of the source).
+
+    The frame count is known up front here, so ``/frames`` is written
+    CONTIGUOUS (not chunked): the loader then serves full in-order batches
+    as zero-copy mmap views and the host memcpy stage disappears entirely
+    (``chunk_rows`` is kept for API compatibility; it has no effect on an
+    uncompressed contiguous dataset).
+
+    ``frame_dtype``:
+      * ``"float32"`` (default) — exact copy of the source values.
+      * ``"bfloat16"`` — stores the frames pre-cast to bfloat16 (raw bits in
+        a uint16 dataset + ``frame_dtype`` attr). For the production bf16
+        inference path this is NUMERICALLY FREE — the engine casts float32
+        frames to bfloat16 on the wire anyway (`Predictor.to_device`) — and
+        it halves both the file size and every downstream byte: disk reads,
+        page-cache footprint, and host->device transfer. Measured on a
+        1-core host: 35.3k frames/s via read_direct vs 13.6k float32.
     """
+    if frame_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"frame_dtype must be 'float32' or 'bfloat16', got {frame_dtype!r}"
+        )
     src, dst = Path(src), Path(dst)
     dmap, _ = create_flat_dataset_map(src)
     with h5py.File(src, "r") as fin, h5py.File(dst, "w") as fout:
         for k, v in fin.attrs.items():
             fout.attrs[k] = v
         fout.attrs["layout"] = "flat"
+        if frame_dtype == "bfloat16":
+            fout.attrs["frame_dtype"] = "bfloat16"
         dims = tuple(int(x) for x in fin.attrs["frame_dims"])
         n = len(dmap.entries)
         frames = fout.create_dataset(
-            "frames", shape=(n, *dims), dtype=np.float32,
-            chunks=(min(chunk_rows, n), *dims),
+            "frames", shape=(n, *dims),
+            dtype=np.uint16 if frame_dtype == "bfloat16" else np.float32,
         )
         # label dtype follows the SOURCE: the tree reader preserves float
         # (soft/probability) `encoded_residue` attrs (see _read_batch), so
@@ -507,7 +604,12 @@ def convert_to_flat(
         }
         for i, (pdb, chain, rid, label) in enumerate(dmap.entries):
             node = fin[pdb][chain][rid]
-            frames[i] = node[()]
+            if frame_dtype == "bfloat16":
+                frames[i] = np.asarray(
+                    node[()], ml_dtypes.bfloat16
+                ).view(np.uint16)
+            else:
+                frames[i] = node[()]
             enc = node.attrs.get("encoded_residue")
             if enc is not None:
                 label_buf[i] = np.asarray(enc, np.float64)

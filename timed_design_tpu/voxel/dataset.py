@@ -64,6 +64,7 @@ def make_frame_dataset(
     atom_filter: str = "backbone",
     layout: str = "tree",
     chunk_rows: int = 512,
+    frame_dtype: str = "float32",
 ) -> Path:
     """Voxelize PDB files into an HDF5 frame dataset.
 
@@ -78,16 +79,30 @@ def make_frame_dataset(
         (utils.py:238-251), gzip per-residue datasets: interoperable with
         reference tooling, but its many tiny compressed reads cap loading
         at ~500 frames/s/core.
-      * 'flat' — this framework's fast format: one (N, V, V, V, C) float32
+      * 'flat' — this framework's fast format: one (N, V, V, V, C)
         `/frames` dataset chunked ``chunk_rows`` deep + `/labels` +
         `/index_*` arrays (same file attrs). Batch reads stream at
         ~20k frames/s/core via `read_direct`, matching TPU compute rate.
         Convert existing datasets with `timed_design_tpu.io.convert_to_flat`.
+
+    ``frame_dtype`` (flat layout only): 'float32' (default) or 'bfloat16' —
+    bf16 halves file size and every downstream byte (disk, page cache, H2D)
+    and is numerically identical to the production engine's own bf16 wire
+    cast of float32 frames.
     """
     if isinstance(codec, str):
         codec = Codec.from_string(codec)
     if layout not in ("tree", "flat"):
         raise ValueError(f"layout must be 'tree' or 'flat', got {layout!r}")
+    if frame_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"frame_dtype must be 'float32' or 'bfloat16', got {frame_dtype!r}"
+        )
+    if frame_dtype != "float32" and layout != "flat":
+        raise ValueError(
+            "frame_dtype='bfloat16' requires layout='flat' (the tree schema "
+            "is the aposteriori interop format and stays float-exact)"
+        )
     output_path = Path(output_path)
     # compression=None means the layout's natural default: gzip for the
     # aposteriori tree schema, uncompressed for the flat fast layout (its
@@ -109,7 +124,9 @@ def make_frame_dataset(
         f.attrs["voxels_as_gaussian"] = bool(gaussian)
         if layout == "flat":
             f.attrs["layout"] = "flat"
-            writer = _FlatWriter(f, dims, chunk_rows, comp)
+            if frame_dtype == "bfloat16":
+                f.attrs["frame_dtype"] = "bfloat16"
+            writer = _FlatWriter(f, dims, chunk_rows, comp, frame_dtype)
 
         for path in structure_paths:
             structures = load_pdb(Path(path), all_states=voxelise_all_states)
@@ -208,11 +225,15 @@ class _FlatWriter:
     `/frames` + `/labels` + string `/index_*` columns."""
 
     def __init__(self, f: h5py.File, dims: tuple, chunk_rows: int,
-                 comp: dict | None = None):
+                 comp: dict | None = None, frame_dtype: str = "float32"):
         self.f = f
+        # bfloat16 frames store raw bits in uint16 (HDF5 has no bf16 type);
+        # the loader reinterprets via the `frame_dtype` file attr
+        self.frame_dtype = frame_dtype
         self.frames = f.create_dataset(
             "frames", shape=(0, *dims), maxshape=(None, *dims),
-            dtype=np.float32, chunks=(chunk_rows, *dims), **(comp or {}),
+            dtype=np.uint16 if frame_dtype == "bfloat16" else np.float32,
+            chunks=(chunk_rows, *dims), **(comp or {}),
         )
         self.labels = f.create_dataset(
             "labels", shape=(0, 20), maxshape=(None, 20), dtype=np.int8,
@@ -230,7 +251,12 @@ class _FlatWriter:
         self.n = 0
 
     def append(self, pdb_name, frames, chain_ids, residue_ids, labels):
-        frames = np.asarray(frames, np.float32)
+        if self.frame_dtype == "bfloat16":
+            import ml_dtypes
+
+            frames = np.asarray(frames, ml_dtypes.bfloat16).view(np.uint16)
+        else:
+            frames = np.asarray(frames, np.float32)
         r = frames.shape[0]
         onehot = np.zeros((r, 20), np.int8)
         onehot[np.arange(r), [AA3_TO_INT[l] for l in labels]] = 1
