@@ -319,8 +319,36 @@ def device_checks() -> list[dict]:
         np.testing.assert_allclose(f[:2], [0.6, 0.4], atol=0.04)
     # distinct streams across length blocks (no seed aliasing between them)
     assert (long_a[:, 0] != long_a[:, 1024]).any()
+
+    # Check 5 (round 5): the quantized conv path executes on the REAL TPU
+    # backend with exact integer-emulation parity (models/quantize.py).
+    # Throughput verdict is negative (BASELINE.md "Quantized inference");
+    # this keeps the path compile- and numerics-certified per round so it
+    # is ready the day an XLA build lands a fast int8 conv lowering.
+    from timed_design_tpu.models.quantize import quantized_convs
+
+    rng = np.random.default_rng(7)
+    lhs = jnp.asarray(rng.random((2, 5, 5, 5, 3)), jnp.float32)
+    ker = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 4)), jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(
+        lhs.shape, ker.shape, ("NDHWC", "DHWIO", "NDHWC")
+    )
+    with quantized_convs("int8"):
+        got = np.asarray(jax.lax.conv_general_dilated(
+            lhs, ker, (1, 1, 1), "SAME", dimension_numbers=dn
+        ))
+    s_w = np.abs(np.asarray(ker)).max(axis=(0, 1, 2, 3)) / 127
+    wq = np.clip(np.round(np.asarray(ker) / s_w), -127, 127)
+    s_x = np.abs(np.asarray(lhs)).max() / 127
+    xq = np.clip(np.round(np.asarray(lhs) / s_x), -127, 127)
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(xq, jnp.float32), jnp.asarray(wq, jnp.float32),
+        (1, 1, 1), "SAME", dimension_numbers=dn,
+    )) * (s_x * s_w)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
     return [
-        {"metric": "pallas_device_checks_passed", "value": 4, "unit": "checks",
+        {"metric": "pallas_device_checks_passed", "value": 5, "unit": "checks",
          "vs_baseline": 1.0}
     ]
 

@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""One-command external-parity closure (VERDICT r4 next #8).
+
+Runs every parity check the current environment can support and writes
+``PARITY_RESULTS.md``; checks whose external dependency is absent are
+SKIPPED with the exact install step, so the day a machine has
+aposteriori / ampal / SCWRL4 / the release .h5 files / streamlit, closing
+every remaining environmental gap is:
+
+    python scripts/external_parity.py --all
+
+Checks (dependency -> what it closes):
+  voxel      aposteriori==2.4.0   docs/VOXELIZER_SPEC.md §4 gaussian convention
+  ampal      ampal                docs/AMPAL_SPEC.md §2-4 chi bins / pKa tables
+  scwrl      Scwrl4 binary        analyse/scwrl.py against the real packer
+  release    TIMED release .h5s   keras importer on the actual shipped graphs
+             (--models-dir or TD_RELEASE_MODELS; files from reference
+             README.md:100-104)
+  streamlit  streamlit            live `streamlit run ui.py` serving check
+
+Exit code: 0 = nothing failed (skips allowed; each is listed),
+1 = at least one check RAN and FAILED. The skip paths themselves are
+exercised in CI (tests/test_external_parity.py), so this script is known
+runnable before the environment that needs it exists.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+PASS, FAIL, SKIP = "PASS", "FAIL", "SKIP"
+
+
+def _sub(script: str, *args: str) -> tuple[str, str]:
+    """Run a sibling parity script; rc 0 -> PASS, 2 -> SKIP, else FAIL."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / script), *args],
+        capture_output=True, text=True, timeout=1800,
+    )
+    lines = [
+        ln.strip() for ln in (proc.stdout + proc.stderr).splitlines()
+        if ln.strip()
+    ]
+    status = {0: PASS, 2: SKIP}.get(proc.returncode, FAIL)
+    # skip messages lead with the missing dependency; results end with it
+    detail = (lines[0] if status == SKIP else lines[-1]) if lines else ""
+    return status, detail
+
+
+def check_voxel() -> tuple[str, str]:
+    return _sub("voxel_parity.py")
+
+
+def check_ampal() -> tuple[str, str]:
+    return _sub("ampal_parity.py")
+
+
+def check_scwrl() -> tuple[str, str]:
+    from timed_design_tpu.analyse.scwrl import (
+        ScwrlNotFoundError,
+        find_scwrl,
+        pack_side_chains_scwrl,
+    )
+    from timed_design_tpu.structure import load_pdb
+
+    try:
+        binary = find_scwrl()
+    except ScwrlNotFoundError:
+        return SKIP, ("Scwrl4 not on PATH — install the licensed binary "
+                      "(http://dunbrack.fccc.edu/scwrl4/) and re-run")
+    ubq = REPO / "tests/testing_files/1ubq.pdb1.gz"
+    s = load_pdb(ubq)
+    seq = s.chains[0].sequence1()
+    try:
+        packed, score = pack_side_chains_scwrl(s, [seq], scwrl_path=binary)
+    except Exception as e:  # noqa: BLE001 - verdict is the report
+        return FAIL, f"real SCWRL4 run failed: {type(e).__name__}: {e}"
+    n_res = len([r for r in packed.residues if r.is_standard_aa])
+    if n_res != len(seq):
+        return FAIL, f"packed structure has {n_res} residues, expected {len(seq)}"
+    return PASS, f"real SCWRL4 packed 1ubq ({len(seq)} res), score={score:.2f}"
+
+
+def check_release_h5(models_dir: Path | None) -> tuple[str, str]:
+    models_dir = models_dir or Path(
+        os.environ.get("TD_RELEASE_MODELS", REPO / "models_release")
+    )
+    files = sorted(Path(models_dir).glob("*.h5")) if Path(models_dir).exists() else []
+    if not files:
+        return SKIP, (
+            f"no release .h5 files under {models_dir} — download from the "
+            "reference's GitHub releases (README.md:100-104) and pass "
+            "--models-dir (or set TD_RELEASE_MODELS)"
+        )
+    import numpy as np
+
+    from timed_design_tpu.engine import predict_structure
+
+    try:
+        import tensorflow as tf  # noqa: F401
+        have_tf = True
+    except ImportError:
+        have_tf = False
+
+    ubq = REPO / "tests/testing_files/1ubq.pdb1.gz"
+    lines = []
+    for f in files:
+        from timed_design_tpu.models.keras_import import KerasH5Model
+
+        model = KerasH5Model.load(f)
+        probs, _ = predict_structure(ubq, model, batch_size=128)
+        probs = np.asarray(probs)
+        ok = bool(np.isfinite(probs).all()) and bool(
+            np.allclose(probs.sum(axis=1), 1.0, atol=1e-3)
+        )
+        msg = f"{f.name}: {probs.shape[1]}-class, finite={ok}"
+        if have_tf:
+            import tensorflow as tf
+
+            tfm = tf.keras.models.load_model(f, compile=False)
+            # frames via our voxelizer — identical input to both runtimes
+            from timed_design_tpu.voxel import (
+                Codec,
+                structure_to_frame_atoms,
+                voxelize_frame_atoms,
+            )
+            from timed_design_tpu.structure import load_pdb
+
+            codec_ch = int(tfm.inputs[0].shape[-1])
+            codec = Codec.from_string(
+                {5: "CNOCACB", 6: "CNOCACBQ"}.get(codec_ch, "CNOCACB")
+            )
+            fa = structure_to_frame_atoms(load_pdb(ubq), codec)
+            X = np.asarray(voxelize_frame_atoms(fa, codec), np.float32)
+            ref = tfm.predict(X, verbose=0)
+            delta = float(np.abs(ref - probs[: len(ref)]).max())
+            ok = ok and delta < 1e-4
+            msg += f", tf-parity max|dp|={delta:.2e}"
+        if not ok:
+            return FAIL, msg
+        lines.append(msg)
+    return PASS, "; ".join(lines)
+
+
+def check_streamlit() -> tuple[str, str]:
+    try:
+        import streamlit  # noqa: F401
+    except ImportError:
+        return SKIP, "streamlit not importable — pip install streamlit"
+    import socket
+    import time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "streamlit", "run",
+         str(REPO / "timed_design_tpu" / "ui.py"),
+         "--server.headless", "true", "--server.port", str(port),
+         "--", "--path_to_models", str(REPO),
+         "--path_to_pdb", str(REPO / "tests/testing_files"),
+         "--path_to_data", str(REPO)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                ) as r:
+                    if r.status == 200:
+                        return PASS, f"live streamlit served /healthz on :{port}"
+            except Exception:
+                time.sleep(2)
+        return FAIL, "streamlit process never answered /healthz within 90s"
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--all", action="store_true", help="run every check")
+    ap.add_argument("--checks", type=str, default=None,
+                    help="comma list: voxel,ampal,scwrl,release,streamlit")
+    ap.add_argument("--models-dir", type=Path, default=None)
+    ap.add_argument("--output", type=Path,
+                    default=REPO / "PARITY_RESULTS.md")
+    args = ap.parse_args()
+    names = (
+        args.checks.split(",") if args.checks
+        else ["voxel", "ampal", "scwrl", "release", "streamlit"]
+    )
+
+    checks = {
+        "voxel": check_voxel,
+        "ampal": check_ampal,
+        "scwrl": check_scwrl,
+        "release": lambda: check_release_h5(args.models_dir),
+        "streamlit": check_streamlit,
+    }
+    results: dict[str, tuple[str, str]] = {}
+    for name in names:
+        fn = checks.get(name)
+        if fn is None:
+            raise SystemExit(f"unknown check {name!r}; known: {list(checks)}")
+        print(f"== {name}", flush=True)
+        try:
+            results[name] = fn()
+        except Exception as e:  # noqa: BLE001 - verdict is the report
+            results[name] = (FAIL, f"{type(e).__name__}: {e}")
+        print(f"   {results[name][0]}: {results[name][1]}")
+
+    stamp = datetime.datetime.now().isoformat(timespec="seconds")
+    lines = [
+        "# External parity results",
+        "",
+        f"Generated by `scripts/external_parity.py` on {stamp}",
+        f"(host: {os.uname().nodename}).",
+        "",
+        "| Check | Status | Detail |",
+        "|---|---|---|",
+    ]
+    for name, (status, detail) in results.items():
+        lines.append(f"| {name} | {status} | {detail.replace('|', '/')} |")
+    skips = [n for n, (s, _) in results.items() if s == SKIP]
+    fails = [n for n, (s, _) in results.items() if s == FAIL]
+    lines += [
+        "",
+        f"Skipped (dependency absent): {', '.join(skips) or 'none'}.",
+        f"Failed: {', '.join(fails) or 'none'}.",
+    ]
+    args.output.write_text("\n".join(lines) + "\n")
+    print(f"\nWrote {args.output}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8", "int8-fake", "w8"],
+                   help="serve with quantized convs (models/quantize.py); "
+                        "measured SLOWER than bf16 on v5e XLA — "
+                        "characterization option (BASELINE.md)")
     p.add_argument("--allow-random-weights", action="store_true",
                    dest="allow_random_weights")
     p.add_argument("--no-coalesce", action="store_true", dest="no_coalesce",
@@ -478,6 +483,7 @@ def main(argv=None) -> None:
             model, codec=args.codec, batch_size=args.batch_size,
             compute_dtype=args.compute_dtype,
             allow_random_weights=args.allow_random_weights,
+            quantize=args.quantize,
         )
         return (
             SerialDesigner(session)

@@ -552,14 +552,26 @@ def load_dataset_and_predict(
 
             from ..io.writers import write_int_csv
 
-            def _drain_one():
+            # ---- writer thread (VERDICT r4 next #7) ----------------------
+            # CSV formatting + appends ran on the dispatch thread through
+            # round 4 — 193 s of a 587 s 500k-frame run was serial write
+            # time the device spent idle. One consumer thread drains a
+            # bounded queue IN ORDER (append order, and therefore resume
+            # semantics and artifact bytes, are exactly the serial path's);
+            # the native f16 formatter releases the GIL, so formatting
+            # genuinely overlaps dispatch on multi-core hosts.
+            import queue as _queue
+
+            write_q: _queue.Queue = _queue.Queue(maxsize=4)
+            writer_err: list[BaseException] = []
+            _STOP = object()
+
+            def _write_batch(outs_np, y, n):
                 nonlocal ens_off
-                outs, y, n = pending.popleft()
                 y_int = y[:n].astype(np.int64)
                 if not write_int_csv(labels_file, y_int):
                     np.savetxt(labels_file, y_int, delimiter=",", fmt="%i")
-                for i, out in enumerate(outs):
-                    rows = np.asarray(out)[:n]
+                for i, rows in enumerate(outs_np):
                     streams[i].write(rows)
                     decode_parts[i].append(
                         rows.astype(np.float16) if float16_decode else rows
@@ -575,16 +587,50 @@ def load_dataset_and_predict(
                         )
                 ens_off += n
 
-            for X, y, n_valid in loader:
-                x_dev = predictors[0].to_device(X[:n_valid])
-                pending.append(
-                    ([p.run_device_batch(x_dev) for p in predictors],
-                     y, n_valid)
-                )
-                if len(pending) >= max_in_flight:
+            def _writer():
+                while True:
+                    item = write_q.get()
+                    try:
+                        if item is _STOP:
+                            return
+                        if not writer_err:  # fail-fast: skip after an error
+                            _write_batch(*item)
+                    except BaseException as e:  # noqa: BLE001 - re-raised on main
+                        writer_err.append(e)
+                    finally:
+                        write_q.task_done()
+
+            writer_th = threading.Thread(
+                target=_writer, name="csv-writer", daemon=True
+            )
+            writer_th.start()
+
+            def _drain_one():
+                outs, y, n = pending.popleft()
+                # the device fetch stays HERE: it is the completion wait
+                # that throttles dispatch (backpressure), and fetching on
+                # the writer thread would serialize fetch behind formatting
+                outs_np = [np.asarray(out)[:n] for out in outs]
+                if writer_err:
+                    raise writer_err[0]
+                write_q.put((outs_np, y, n))
+
+            try:
+                for X, y, n_valid in loader:
+                    x_dev = predictors[0].to_device(X[:n_valid])
+                    pending.append(
+                        ([p.run_device_batch(x_dev) for p in predictors],
+                         y, n_valid)
+                    )
+                    if len(pending) >= max_in_flight:
+                        _drain_one()
+                while pending:
                     _drain_one()
-            while pending:
-                _drain_one()
+            finally:
+                write_q.put(_STOP)
+                writer_th.join()
+            if writer_err:
+                raise writer_err[0]
     finally:
         labels_file.close()
         for s in streams:

@@ -28,6 +28,7 @@ class DesignSession:
         gaussian: bool = True,
         compute_dtype="bfloat16",
         allow_random_weights: bool = False,
+        quantize: str | None = None,
     ):
         import jax.numpy as jnp
 
@@ -50,6 +51,7 @@ class DesignSession:
         self.predictor = Predictor(
             resolved, batch_size=batch_size, mesh=mesh,
             transfer_dtype=compute_dtype, model_name=self.model_name,
+            quantize=quantize,
         )
 
     @property

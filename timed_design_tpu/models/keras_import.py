@@ -313,12 +313,33 @@ def _layer_fn(class_name: str, cfg: dict, lname: str, dt) -> t.Callable:
             args[0] > 0, args[0], _a * jnp.expm1(args[0])
         )
     if class_name == "ReLU":
-        return lambda weights, args: jax.nn.relu(args[0])
+        # Keras ReLU carries max_value / negative_slope / threshold
+        max_value = cfg.get("max_value")
+        neg = float(cfg.get("negative_slope") or 0.0)
+        thr = float(cfg.get("threshold") or 0.0)
+
+        def fn(weights, args, _mv=max_value, _ns=neg, _t=thr):
+            x = args[0]
+            y = jnp.where(x >= _t, x, _ns * (x - _t))
+            if _mv is not None:
+                y = jnp.minimum(y, jnp.asarray(_mv, y.dtype))
+            return y
+
+        return fn
     if class_name == "LeakyReLU":
-        alpha = float(cfg.get("alpha", 0.3))
-        return lambda weights, args, _a=alpha: jax.nn.leaky_relu(args[0], _a)
+        # Keras 3 renamed the slope key: 'negative_slope' (2.x: 'alpha') —
+        # reading only 'alpha' silently fell back to 0.3 on every Keras-3
+        # save (caught by tests/test_keras_import_fuzz.py, seed 1020)
+        alpha = cfg.get("negative_slope", cfg.get("alpha", 0.3))
+        return lambda weights, args, _a=float(alpha): jax.nn.leaky_relu(
+            args[0], _a
+        )
     if class_name == "Softmax":
-        return lambda weights, args: jax.nn.softmax(args[0], axis=-1)
+        axis = cfg.get("axis", -1)
+        axis = int(axis[0]) if isinstance(axis, (list, tuple)) else int(axis)
+        return lambda weights, args, _ax=axis: jax.nn.softmax(
+            args[0], axis=_ax
+        )
     if class_name in ("Dropout", "SpatialDropout3D", "SpatialDropout2D",
                       "SpatialDropout1D", "GaussianNoise", "AlphaDropout"):
         return lambda weights, args: args[0]  # inference: identity
