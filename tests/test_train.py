@@ -823,3 +823,34 @@ def test_make_mesh_too_few_devices_errors():
 
     with pytest.raises(ValueError, match="devices"):
         make_mesh(n_model=100)
+
+
+def test_fit_trains_from_bf16_flat_storage(tmp_path, ubq_pdb_gz):
+    """Training consumes bf16 flat storage (round 5 production layout)
+    end-to-end: the shuffled loader exercises the sorted-gather read on the
+    uint16-bit dataset AND the padding/repeat branch copies bf16 rows; the
+    step casts to float32 on device. Guards the corner the engine bitwise
+    test (test_engine.py::test_engine_bf16_flat_storage_bitwise_equal)
+    cannot: `fit`'s host-side dtype handling of ml_dtypes.bfloat16 arrays."""
+    import ml_dtypes
+
+    from timed_design_tpu.io import (
+        FrameBatchLoader, convert_to_flat, create_flat_dataset_map,
+    )
+    from timed_design_tpu.voxel import make_frame_dataset
+
+    tree = make_frame_dataset(
+        [ubq_pdb_gz], tmp_path / "tree.hdf5", codec="CNOCACB"
+    )
+    b16 = convert_to_flat(tree, tmp_path / "b16.hdf5",
+                          frame_dtype="bfloat16")
+    dmap, _ = create_flat_dataset_map(b16)
+    # batch 32 over 76 frames: a partial final batch forces the
+    # repeat-fill branch; shuffle forces the fancy-gather bf16 read
+    loader = FrameBatchLoader(b16, dmap, batch_size=32, shuffle=True)
+    X, _, _ = next(iter(loader))
+    assert X.dtype == ml_dtypes.bfloat16  # the loader serves logical bf16
+    state = fit(timed(filters=(4, 8)), loader, n_classes=20, epochs=1,
+                log_every=100)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
