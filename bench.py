@@ -806,7 +806,7 @@ def _run_with_retry(fn, attempts: int = 3) -> None:
             time.sleep(10)
 
 
-def _watchdog_reexec(per_attempt_s: int = 1500, attempts: int = 3) -> int:
+def _watchdog_reexec(per_attempt_s: int = 2100, attempts: int = 3) -> int:
     """Run the real bench in a child process with a hard timeout.
 
     The tunneled transport has congestion windows where the FIRST device op
@@ -814,7 +814,10 @@ def _watchdog_reexec(per_attempt_s: int = 1500, attempts: int = 3) -> int:
     exceptions retry fine (_run_with_retry) but a HANG would otherwise
     stall the driver's round-end bench indefinitely. The child inherits
     stdout, and JSON lines print only after a fully successful run, so a
-    killed child cannot emit partial metrics."""
+    killed child cannot emit partial metrics. 2100 s/attempt: the round-5
+    seven-stage surface measured ~25-30 min through a mildly congested
+    tunnel (2026-08-20) — 1500 s would kill a run that was about to
+    finish."""
     import os
     import subprocess
     import sys
