@@ -171,17 +171,22 @@ def check_streamlit() -> tuple[str, str]:
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     try:
+        # streamlit >= 1.12 serves /_stcore/health; older builds /healthz
         deadline = time.time() + 90
         while time.time() < deadline:
-            try:
-                with urllib.request.urlopen(
-                    f"http://127.0.0.1:{port}/healthz", timeout=5
-                ) as r:
-                    if r.status == 200:
-                        return PASS, f"live streamlit served /healthz on :{port}"
-            except Exception:
-                time.sleep(2)
-        return FAIL, "streamlit process never answered /healthz within 90s"
+            for health in ("/_stcore/health", "/healthz"):
+                try:
+                    with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}{health}", timeout=5
+                    ) as r:
+                        if r.status == 200:
+                            return PASS, (
+                                f"live streamlit served {health} on :{port}"
+                            )
+                except Exception:
+                    pass
+            time.sleep(2)
+        return FAIL, "streamlit never answered a health endpoint within 90s"
     finally:
         proc.terminate()
         try:
