@@ -107,12 +107,30 @@ def main() -> None:
 
     from timed_design_tpu.engine import load_dataset_and_predict
 
+    # ru_maxrss is the mm's high-water mark, and fork COPIES it: a child
+    # spawned by a fat parent (a pytest process that has run hundreds of
+    # tests can sit at 5-6 GB) reports the PARENT's peak as its own floor —
+    # measured start-of-process ru_maxrss 5,255 MB inside the full suite vs
+    # ~170 MB from a shell (2026-08-20). Reset the watermark so this
+    # process measures only itself (proc(5) clear_refs code 5).
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+    except OSError:
+        pass  # non-Linux: ru_maxrss keeps platform semantics
+
+    def _rss() -> float:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+    rss_phases = {"start": round(_rss(), 1)}
+
     with tempfile.TemporaryDirectory(prefix="scale_bench",
                                      dir=args.workdir) as td:
         td = Path(td)
         t0 = time.time()
         ds = write_flat_dataset(td / "scale.hdf5", args.frames, voxels)
         t_data = time.time() - t0
+        rss_phases["dataset"] = round(_rss(), 1)
 
         if args.table:
             from tests.reference_shim import TableModule
@@ -141,6 +159,7 @@ def main() -> None:
             ensemble=True,
         )
         wall = time.time() - t0
+        rss_phases["predict"] = round(_rss(), 1)
         n_chains = len(result.pdb_to_sequence)
         artifacts = sorted(p.name for p in out.iterdir())
 
@@ -154,6 +173,8 @@ def main() -> None:
         "wall_s": round(wall, 1),
         "frames_per_sec": round(args.frames / wall, 1),
         "peak_rss_mb": round(peak_rss_mb, 1),
+        "rss_phases_mb": rss_phases,
+        "loadavg": round(__import__("os").getloadavg()[0], 2),
         "chains": n_chains,
         "artifacts": artifacts,
         "timings": {k: round(v, 2) for k, v in result.timings.items()},

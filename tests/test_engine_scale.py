@@ -44,6 +44,9 @@ def test_engine_memory_bounded_at_scale(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     report = json.loads(proc.stdout.strip().splitlines()[-1])
+    # full report (incl. rss_phases_mb) lands in captured stdout on failure
+    print(json.dumps(report))
+    Path("/tmp/engine_scale_last_report.json").write_text(json.dumps(report))
     assert report["frames"] == 80000
     assert report["chains"] == 800
     # the full artifact set, per model + the ensemble
@@ -52,14 +55,14 @@ def test_engine_memory_bounded_at_scale(tmp_path):
             assert f"{stem}{ext}" in report["artifacts"]
     # 80k x 338: f16 decode matrices 2 x 54 MB + float64 ensemble sum
     # 216 MB + loader/runtime ~= 0.7 GB. The pre-streaming engine measured
-    # ~2.5 GB here (f32 matrices + f64 members + stack). The bound keeps
-    # real headroom over the new design (isolation runs measure ~0.7-1.0
-    # GB) while still failing any reintroduced per-member float64
-    # accumulation (+1.7 GB at this scale). Allocator noise scales with
-    # scheduler contention even at MALLOC_ARENA_MAX=2 (a run concurrent
-    # with a TPU bench on this 1-vCPU host crossed 1.8 GB; isolated: 1.0),
-    # so the strict pin applies on a quiet host and a co-loaded host gets
-    # headroom that still catches the structural regression.
-    load = os.getloadavg()[0] / (os.cpu_count() or 1)
-    bound = 1800 if load < 1.5 else 2300
-    assert report["peak_rss_mb"] < bound, (report, load)
+    # ~2.5 GB here (f32 matrices + f64 members + stack); isolation runs of
+    # the streaming engine measure ~1.0 GB, so 1400 keeps headroom while
+    # failing any reintroduced per-member float64 accumulation (+1.7 GB).
+    # History: this pin flaked inside full-suite runs at 5-6 GB "peak" —
+    # ru_maxrss is fork-inherited from the fat pytest parent, which the
+    # bench now neutralizes by resetting the kernel RSS watermark
+    # (/proc/self/clear_refs) at start; rss_phases_mb["start"] in the
+    # report (printed above on failure) proves the reset worked (~170 MB,
+    # not gigabytes).
+    assert report["rss_phases_mb"]["start"] < 600, report
+    assert report["peak_rss_mb"] < 1400, report
